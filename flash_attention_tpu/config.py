@@ -1,0 +1,169 @@
+"""Block-size selection against the VMEM budget.
+
+TPU-native re-design of the reference's compile-time tile autotuner
+(`run/flash_attn_unified.cu:26-79`, which searches square tiles 128→32
+against a 160 KB shared-memory budget) and of the FA1 tile law
+`Bc=⌈M/4d⌉, Br=min(Bc,d)` (`code/cuda_fa1/flashAttention.cu:17-18`).
+
+On TPU the on-chip budget is VMEM (~16 MB/core vs 160 KB smem), the
+compute granule is the 128×128 MXU / 8×128 VPU, and the Pallas pipeline
+double-buffers every blocked input — so optimal tiles are large,
+lane-aligned (multiples of 128 in the minor dim), and chosen per head-dim.
+The search below plays the same role as the reference's `constexpr`
+search: pick the largest hardware-aligned (block_q, block_kv) whose
+working-set footprint fits a conservative VMEM budget.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+
+# Lane width of the VPU / MXU edge; minor-most dims should be multiples.
+LANES = 128
+# Sublane granule for fp32; bf16 wants 16, int8/fp8 want 32.
+SUBLANES = {4: 8, 2: 16, 1: 32}
+
+# Conservative per-core VMEM budget (bytes). Real v5e/v5p cores have
+# ~16 MB; leave headroom for the pipeline's double buffers and compiler
+# scratch, mirroring the reference's 160 KB opt-in smem cap role.
+DEFAULT_VMEM_BUDGET = 12 * 1024 * 1024
+
+SUPPORTED_HEAD_DIMS = (32, 64, 128, 256)
+
+
+def cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def round_up(x: int, m: int) -> int:
+    return cdiv(x, m) * m
+
+
+@dataclasses.dataclass(frozen=True)
+class BlockSizes:
+    """Tile configuration for the attention kernels.
+
+    block_q / block_kv drive the forward kernel; the *_dq / *_dkv pairs
+    drive the two backward kernels (which have different working sets).
+    """
+
+    block_q: int = 512
+    block_kv: int = 512
+    block_q_dq: int = 512
+    block_kv_dq: int = 512
+    block_q_dkv: int = 512
+    block_kv_dkv: int = 512
+
+    def clamp(self, seq_q: int, seq_kv: int) -> "BlockSizes":
+        """Shrink blocks that exceed the actual sequence lengths."""
+        def fit(b, n):
+            return max(min(b, round_up(n, LANES)), LANES)
+        return BlockSizes(
+            block_q=fit(self.block_q, seq_q),
+            block_kv=fit(self.block_kv, seq_kv),
+            block_q_dq=fit(self.block_q_dq, seq_q),
+            block_kv_dq=fit(self.block_kv_dq, seq_kv),
+            block_q_dkv=fit(self.block_q_dkv, seq_q),
+            block_kv_dkv=fit(self.block_kv_dkv, seq_kv),
+        )
+
+
+def _fwd_footprint_bytes(bq: int, bk: int, head_dim: int, in_bytes: int) -> int:
+    """Forward working set: q/k/v blocks (double-buffered by the Pallas
+    pipeline), the fp32 scores tile S [bq, bk], fp32 accumulator [bq, d],
+    and fp32 m/l rows — the VMEM analog of the reference's smem layout
+    struct (`flash_attn_unified.cu:83-109`)."""
+    d = max(head_dim, LANES)  # minor dim padded to lane width
+    q = bq * d * in_bytes
+    kv = 2 * bk * d * in_bytes
+    s = bq * bk * 4                 # scores + probs share the S tile
+    acc = bq * d * 4
+    stats = 2 * bq * LANES * 4      # m, l replicated over lanes
+    out = bq * d * in_bytes
+    # Pallas double-buffers blocked inputs/outputs across grid steps.
+    return 2 * (q + kv + out) + s + acc + stats
+
+
+def _bwd_footprint_bytes(bq: int, bk: int, head_dim: int, in_bytes: int) -> int:
+    d = max(head_dim, LANES)
+    tiles = (bq + 2 * bk) * d * in_bytes      # q, k, v
+    do = bq * d * in_bytes
+    s = 2 * bq * bk * 4                        # s/p and dp/ds tiles
+    accs = 2 * bk * d * 4                      # dk, dv accumulators
+    stats = 2 * bq * LANES * 4                 # lse, delta
+    return 2 * (tiles + do) + s + accs + stats
+
+
+def select_block_sizes(
+    seq_q: int,
+    seq_kv: int,
+    head_dim: int,
+    *,
+    dtype=jnp.bfloat16,
+    vmem_budget: int = DEFAULT_VMEM_BUDGET,
+    candidates=(2048, 1024, 512, 256, 128),
+) -> BlockSizes:
+    """Pick the largest aligned (block_q, block_kv) fitting the budget.
+
+    Role-equivalent to `find_optimal_tile_size` (flash_attn_unified.cu:
+    26-54): descend through candidate tile sizes, keep the first whose
+    footprint fits. KV blocks are allowed to be larger than Q blocks
+    (more KV reuse per Q tile lowers HBM traffic), the opposite asymmetry
+    from the reference's small-tile config — VMEM is big enough that the
+    occupancy argument for small tiles does not apply on TPU.
+    """
+    in_bytes = jnp.dtype(dtype).itemsize
+    for bq in candidates:
+        for bk in candidates:
+            if bk < bq:
+                continue  # prefer wide-KV asymmetry first
+            if _fwd_footprint_bytes(bq, bk, head_dim, in_bytes) <= vmem_budget:
+                fwd = (bq, bk)
+                break
+        else:
+            continue
+        break
+    else:
+        fwd = (LANES, LANES)
+
+    for bq in candidates:
+        for bk in candidates:
+            if _bwd_footprint_bytes(bq, bk, head_dim, in_bytes) <= vmem_budget:
+                bwd = (bq, bk)
+                break
+        else:
+            continue
+        break
+    else:
+        bwd = (LANES, LANES)
+
+    return BlockSizes(
+        block_q=fwd[0], block_kv=fwd[1],
+        block_q_dq=bwd[0], block_kv_dq=bwd[1],
+        block_q_dkv=bwd[0], block_kv_dkv=bwd[1],
+    ).clamp(seq_q, seq_kv)
+
+
+@functools.cache
+def default_block_sizes(seq_q: int, seq_kv: int, head_dim: int,
+                        dtype_name: str = "bfloat16") -> BlockSizes:
+    """Cached head-dim dispatch (role of `flash_attn_unified.cu:545-599`'s
+    runtime switch over template instantiations — here the 'instantiation'
+    is a traced Pallas kernel specialization, cached by XLA)."""
+    if head_dim not in SUPPORTED_HEAD_DIMS:
+        raise ValueError(
+            f"head_dim {head_dim} not in supported set {SUPPORTED_HEAD_DIMS}"
+        )
+    return select_block_sizes(
+        seq_q, seq_kv, head_dim, dtype=jnp.dtype(dtype_name)
+    )
+
+
+def interpret_default() -> bool:
+    """Run Pallas kernels in interpreter mode when not on TPU (tests run
+    on a virtual CPU mesh; TPU runs use the compiled Mosaic path)."""
+    return jax.default_backend() != "tpu"

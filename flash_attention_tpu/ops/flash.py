@@ -1,0 +1,611 @@
+"""Flagship flash-attention: Pallas TPU forward + recompute backward.
+
+TPU-first re-design of the reference's FA kernels (SURVEY.md C1, C9, C10,
+C12, C13, C18-C20). Nothing here is a translation — the parallel
+structure is rebuilt around the TPU execution model:
+
+  * The grid is (batch, q_head, q_block, kv_block) with the kv dimension
+    innermost and sequential ("arbitrary"): on TPU, grid steps run
+    sequentially on a core, so the online-softmax state (m, l, acc) lives
+    in VMEM scratch across kv steps instead of the reference's
+    shared-memory arena + __syncthreads() discipline
+    (flash_attn_unified.cu:83-109,201-274).
+  * QK^T and PV tiles hit the MXU via `jax.lax.dot_general` with fp32
+    accumulation — the role the WMMA fragments play in
+    flash_attn_cutlass.cu:136-260, without the 16x16 edge-case fallback
+    (Mosaic handles non-multiple tiles).
+  * Row max / row sum run vectorized on the 8x128 VPU across lanes — the
+    rethought version of the serial tid-0 softmax
+    (flash_attn_unified.cu:229-258) and the warp-shuffle butterfly
+    reduction (flash_attn_cutlass.cu:267-342); stats are kept
+    lane-replicated [block_q, 128] so no cross-lane transposes occur.
+  * The backward pass keeps the recompute strategy of the Triton FA2
+    kernel (FA2-triton.py:98-170) but is restructured without atomics
+    (TPUs have none): a dQ kernel gridded over Q blocks and a dK/dV
+    kernel gridded over KV blocks, each recomputing P from the saved
+    log-sum-exp (FA2-paper dual-loop structure, SURVEY.md §7.3).
+  * Numerics contract (SURVEY.md §2.3): bf16/fp16 storage for Q/K/V/O,
+    fp32 for S, P, stats and accumulators, softmax scale 1/sqrt(d)
+    applied to S before the max-reduction.
+  * Causal masking with a q/kv length offset (decode-friendly), GQA/MQA
+    head mapping, and sequence padding — all absent or partial in the
+    reference (causal existed only in the Triton path, FA2-triton.py:70-73).
+
+Skipped causal blocks use the index-map prefetch trick: a block that will
+not run maps its DMA to the block needed next, so no bandwidth is wasted.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from flash_attention_tpu.config import (
+    LANES,
+    BlockSizes,
+    cdiv,
+    default_block_sizes,
+    interpret_default,
+    round_up,
+)
+
+# Large-negative mask value; -inf would poison exp() for fully-masked rows.
+MASK_VALUE = -0.7 * float(np.finfo(np.float32).max)
+
+
+def _mxu_precision(dtype):
+    """fp32 inputs must not silently degrade to one-pass bf16 on the MXU
+    (the XLA default): the fp32 path is the exactness contract the
+    reference's FP32 baseline provides. bf16/fp16 use the native pass."""
+    return (
+        lax.Precision.HIGHEST
+        if jnp.dtype(dtype) == jnp.float32
+        else lax.Precision.DEFAULT
+    )
+
+
+def _dimension_semantics(*sems):
+    return pltpu.CompilerParams(dimension_semantics=sems)
+
+
+def _below_or_on_diag(i, block_q, j, block_kv, offset):
+    """True iff q block i contains at least one unmasked (row, col) pair
+    against kv block j under `col <= row + offset`."""
+    return (i + 1) * block_q - 1 + offset >= j * block_kv
+
+
+def _mask_block(s, i, j, *, block_q, block_kv, causal, offset,
+                q_len, kv_len, q_padded, kv_padded):
+    """Apply causal and padding masks to a score tile s[block_q, block_kv]
+    at grid position (q block i, kv block j). Static config decides which
+    masks are materialized; dynamic i/j drive the iota comparison."""
+    need_row = q_padded
+    need_col = kv_padded
+    if not (causal or need_row or need_col):
+        return s
+    row = lax.broadcasted_iota(jnp.int32, s.shape, 0) + i * block_q
+    col = lax.broadcasted_iota(jnp.int32, s.shape, 1) + j * block_kv
+    bad = jnp.zeros(s.shape, jnp.bool_)
+    if causal:
+        bad = jnp.logical_or(bad, col > row + offset)
+    if need_col:
+        bad = jnp.logical_or(bad, col >= kv_len)
+    if need_row:
+        bad = jnp.logical_or(bad, row >= q_len)
+    return jnp.where(bad, MASK_VALUE, s)
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr,
+                *, scale, causal, offset, block_q, block_kv, num_kv_blocks,
+                q_len, kv_len, q_padded, kv_padded, precision):
+    i, j = pl.program_id(2), pl.program_id(3)
+
+    @pl.when(j == 0)
+    def _init():
+        m_scr[...] = jnp.full_like(m_scr, MASK_VALUE)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    should_run = (
+        _below_or_on_diag(i, block_q, j, block_kv, offset) if causal else True
+    )
+
+    @pl.when(should_run)
+    def _compute():
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
+        s = lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+            precision=precision,
+        ) * scale
+        s = _mask_block(
+            s, i, j, block_q=block_q, block_kv=block_kv, causal=causal,
+            offset=offset, q_len=q_len, kv_len=kv_len,
+            q_padded=q_padded, kv_padded=kv_padded,
+        )
+
+        m_prev = m_scr[...]                       # [bq, LANES], replicated
+        l_prev = l_scr[...]
+        m_cur = jnp.max(s, axis=1, keepdims=True)  # [bq, 1]
+        m_new = jnp.maximum(m_prev, jnp.broadcast_to(m_cur, m_prev.shape))
+        alpha = jnp.exp(m_prev - m_new)            # rescale factor
+        p = jnp.exp(s - m_new[:, :1])              # [bq, bk] fp32
+        l_new = alpha * l_prev + jnp.broadcast_to(
+            jnp.sum(p, axis=1, keepdims=True), l_prev.shape
+        )
+        m_scr[...] = m_new
+        l_scr[...] = l_new
+        # FA1-style deferred normalization: accumulate unnormalized, divide
+        # once at the end (flashAttention.cu:115-151 recurrence, vectorized).
+        acc_scr[...] = acc_scr[...] * alpha[:, :1] + lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision,
+        )
+
+    @pl.when(j == num_kv_blocks - 1)
+    def _store():
+        l = l_scr[...]
+        l_safe = jnp.where(l == 0.0, 1.0, l)       # fully-masked rows -> 0
+        o_ref[0, 0] = (acc_scr[...] / l_safe[:, :1]).astype(o_ref.dtype)
+        lse_ref[0, 0] = m_scr[...] + jnp.log(l_safe)
+
+
+def _fwd_cost(batch, hq, nq, nk, d, causal, itemsize):
+    frac = 0.5 if causal else 1.0
+    flops = int(4 * batch * hq * nq * nk * d * frac)
+    bytes_accessed = itemsize * batch * hq * (3 * nq * d + 2 * nk * d)
+    return pl.CostEstimate(
+        flops=flops,
+        bytes_accessed=bytes_accessed,
+        transcendentals=int(batch * hq * nq * nk * frac),
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "causal", "scale", "block_sizes", "interpret", "debug", "offset",
+    ),
+)
+def flash_attention_fwd(
+    q, k, v, *, causal=False, scale=None, block_sizes=None,
+    offset=None, interpret=None, debug=False,
+):
+    """Forward flash attention. Returns (o, lse) where lse is the fp32
+    log-sum-exp per row, lane-replicated as [B, Hq, Nq, 128] (TPU-friendly
+    layout for the recompute backward; slice [..., 0] for a plain vector).
+
+    q: [B, Hq, Nq, D] — k, v: [B, Hkv, Nk, D] with Hkv | Hq (GQA/MQA).
+    """
+    batch, hq, nq, d = q.shape
+    _, hkv, nk, _ = k.shape
+    if hq % hkv:
+        raise ValueError(f"Hq={hq} must be a multiple of Hkv={hkv}")
+    group = hq // hkv
+    if scale is None:
+        scale = float(1.0 / np.sqrt(d))
+    if offset is None:
+        offset = nk - nq
+    if causal and offset < 0:
+        raise ValueError("causal attention requires Nq <= Nk (offset >= 0)")
+    if interpret is None:
+        interpret = interpret_default()
+    if block_sizes is None:
+        block_sizes = default_block_sizes(nq, nk, d, jnp.dtype(q.dtype).name)
+    block_q = min(block_sizes.block_q, round_up(nq, LANES))
+    block_kv = min(block_sizes.block_kv, round_up(nk, LANES))
+
+    # Pad sequences to block multiples; masks inside the kernel keep padded
+    # positions out of the softmax.
+    nq_pad = round_up(nq, block_q)
+    nk_pad = round_up(nk, block_kv)
+    q_padded, kv_padded = nq_pad != nq, nk_pad != nk
+    if q_padded:
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, nq_pad - nq), (0, 0)))
+    if kv_padded:
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, nk_pad - nk), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, nk_pad - nk), (0, 0)))
+
+    num_q_blocks = nq_pad // block_q
+    num_kv_blocks = nk_pad // block_kv
+    grid = (batch, hq, num_q_blocks, num_kv_blocks)
+
+    def q_index(b, h, i, j):
+        return (b, h, i, 0)
+
+    def kv_index(b, h, i, j):
+        if causal:
+            # Prefetch trick: a skipped block DMAs the block needed next
+            # (kv block 0 of the next q row) instead of dead data.
+            j = lax.select(
+                _below_or_on_diag(i, block_q, j, block_kv, offset), j, 0
+            )
+        return (b, h // group, j, 0)
+
+    kernel = functools.partial(
+        _fwd_kernel,
+        scale=scale, causal=causal, offset=offset,
+        block_q=block_q, block_kv=block_kv, num_kv_blocks=num_kv_blocks,
+        q_len=nq, kv_len=nk, q_padded=q_padded, kv_padded=kv_padded,
+        precision=_mxu_precision(q.dtype),
+    )
+
+    out_shape = [
+        jax.ShapeDtypeStruct((batch, hq, nq_pad, d), q.dtype),
+        jax.ShapeDtypeStruct((batch, hq, nq_pad, LANES), jnp.float32),
+    ]
+    o, lse = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, block_q, d), q_index),
+            pl.BlockSpec((1, 1, block_kv, d), kv_index),
+            pl.BlockSpec((1, 1, block_kv, d), kv_index),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, block_q, d), q_index),
+            pl.BlockSpec((1, 1, block_q, LANES), q_index),
+        ],
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((block_q, LANES), jnp.float32),   # m
+            pltpu.VMEM((block_q, LANES), jnp.float32),   # l
+            pltpu.VMEM((block_q, d), jnp.float32),       # o accumulator
+        ],
+        compiler_params=_dimension_semantics(
+            "parallel", "parallel", "parallel", "arbitrary"
+        ),
+        cost_estimate=_fwd_cost(
+            batch, hq, nq, nk, d, causal, jnp.dtype(q.dtype).itemsize
+        ),
+        interpret=interpret,
+        debug=debug,
+    )(q, k, v)
+    if q_padded:
+        o = o[:, :, :nq]
+        lse = lse[:, :, :nq]
+    return o, lse
+
+
+# ---------------------------------------------------------------------------
+# Backward (recompute; dual-grid, no atomics)
+# ---------------------------------------------------------------------------
+
+
+def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
+                   dq_scr, *, scale, causal, offset, block_q, block_kv,
+                   num_kv_blocks, q_len, kv_len, q_padded, kv_padded,
+                   precision):
+    i, j = pl.program_id(2), pl.program_id(3)
+
+    @pl.when(j == 0)
+    def _init():
+        dq_scr[...] = jnp.zeros_like(dq_scr)
+
+    should_run = (
+        _below_or_on_diag(i, block_q, j, block_kv, offset) if causal else True
+    )
+
+    @pl.when(should_run)
+    def _compute():
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
+        do = do_ref[0, 0]
+        lse = lse_ref[0, 0]          # [bq, LANES] replicated
+        delta = delta_ref[0, 0]
+        s = lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+            precision=precision,
+        ) * scale
+        s = _mask_block(
+            s, i, j, block_q=block_q, block_kv=block_kv, causal=causal,
+            offset=offset, q_len=q_len, kv_len=kv_len,
+            q_padded=q_padded, kv_padded=kv_padded,
+        )
+        p = jnp.exp(s - lse[:, :1])
+        dp = lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision,
+        )
+        ds = p * (dp - delta[:, :1]) * scale
+        dq_scr[...] += lax.dot_general(
+            ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision,
+        )
+
+    @pl.when(j == num_kv_blocks - 1)
+    def _store():
+        dq_ref[0, 0] = dq_scr[...].astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                    dk_ref, dv_ref, dk_scr, dv_scr,
+                    *, scale, causal, offset, block_q, block_kv,
+                    num_q_blocks, num_inner, q_len, kv_len,
+                    q_padded, kv_padded, precision):
+    jk, inner = pl.program_id(2), pl.program_id(3)
+    iq = inner % num_q_blocks
+
+    @pl.when(inner == 0)
+    def _init():
+        dk_scr[...] = jnp.zeros_like(dk_scr)
+        dv_scr[...] = jnp.zeros_like(dv_scr)
+
+    should_run = (
+        _below_or_on_diag(iq, block_q, jk, block_kv, offset) if causal else True
+    )
+
+    @pl.when(should_run)
+    def _compute():
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
+        do = do_ref[0, 0]
+        lse = lse_ref[0, 0]
+        delta = delta_ref[0, 0]
+        s = lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+            precision=precision,
+        ) * scale
+        s = _mask_block(
+            s, iq, jk, block_q=block_q, block_kv=block_kv, causal=causal,
+            offset=offset, q_len=q_len, kv_len=kv_len,
+            q_padded=q_padded, kv_padded=kv_padded,
+        )
+        p = jnp.exp(s - lse[:, :1])          # [bq, bk]
+        # dV += P^T dO — contract over the q dim (dim 0 of both operands);
+        # the MXU takes the transpose through dimension numbers, no data
+        # movement (vs. tl.atomic_add cross-block accumulation,
+        # FA2-triton.py:165-167).
+        dv_scr[...] += lax.dot_general(
+            p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision,
+        )
+        dp = lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision,
+        )
+        ds = p * (dp - delta[:, :1]) * scale
+        dk_scr[...] += lax.dot_general(
+            ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision,
+        )
+
+    @pl.when(inner == num_inner - 1)
+    def _store():
+        dk_ref[0, 0] = dk_scr[...].astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_scr[...].astype(dv_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "causal", "scale", "block_sizes", "interpret", "debug", "offset",
+    ),
+)
+def flash_attention_bwd(
+    q, k, v, o, lse, do, *, causal=False, scale=None, block_sizes=None,
+    offset=None, interpret=None, debug=False,
+):
+    """Recompute backward: returns (dq, dk, dv).
+
+    lse is the lane-replicated [B, Hq, Nq, 128] stat from the forward.
+    delta = rowsum(dO * O) replaces the dP rowsum (FA2-paper identity),
+    computed here as a fused XLA reduction before the kernels.
+    """
+    batch, hq, nq, d = q.shape
+    _, hkv, nk, _ = k.shape
+    group = hq // hkv
+    if scale is None:
+        scale = float(1.0 / np.sqrt(d))
+    if offset is None:
+        offset = nk - nq
+    if interpret is None:
+        interpret = interpret_default()
+    if block_sizes is None:
+        block_sizes = default_block_sizes(nq, nk, d, jnp.dtype(q.dtype).name)
+    block_q = min(block_sizes.block_q_dkv, round_up(nq, LANES))
+    block_kv = min(block_sizes.block_kv_dkv, round_up(nk, LANES))
+
+    delta = jnp.sum(
+        do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1
+    )  # [B, Hq, Nq]
+    delta = lax.broadcast_in_dim(
+        delta, (batch, hq, nq, LANES), (0, 1, 2)
+    )
+
+    nq_pad = round_up(nq, block_q)
+    nk_pad = round_up(nk, block_kv)
+    q_padded, kv_padded = nq_pad != nq, nk_pad != nk
+    pad_q = ((0, 0), (0, 0), (0, nq_pad - nq), (0, 0))
+    if q_padded:
+        q = jnp.pad(q, pad_q)
+        do = jnp.pad(do, pad_q)
+        # Padded rows must produce p == 0, not exp(big); pad lse with +big.
+        lse = jnp.pad(lse, pad_q, constant_values=-MASK_VALUE)
+        delta = jnp.pad(delta, pad_q)
+    if kv_padded:
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, nk_pad - nk), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, nk_pad - nk), (0, 0)))
+
+    num_q_blocks = nq_pad // block_q
+    num_kv_blocks = nk_pad // block_kv
+
+    common = dict(
+        scale=scale, causal=causal, offset=offset,
+        block_q=block_q, block_kv=block_kv,
+        q_len=nq, kv_len=nk, q_padded=q_padded, kv_padded=kv_padded,
+        precision=_mxu_precision(q.dtype),
+    )
+
+    # --- dQ: grid over q blocks, sweep kv blocks sequentially.
+    def qrow_index(b, h, i, j):
+        return (b, h, i, 0)
+
+    def kv_index_dq(b, h, i, j):
+        if causal:
+            j = lax.select(
+                _below_or_on_diag(i, block_q, j, block_kv, offset), j, 0
+            )
+        return (b, h // group, j, 0)
+
+    dq = pl.pallas_call(
+        functools.partial(
+            _bwd_dq_kernel, num_kv_blocks=num_kv_blocks, **common
+        ),
+        grid=(batch, hq, num_q_blocks, num_kv_blocks),
+        in_specs=[
+            pl.BlockSpec((1, 1, block_q, d), qrow_index),      # q
+            pl.BlockSpec((1, 1, block_kv, d), kv_index_dq),    # k
+            pl.BlockSpec((1, 1, block_kv, d), kv_index_dq),    # v
+            pl.BlockSpec((1, 1, block_q, d), qrow_index),      # do
+            pl.BlockSpec((1, 1, block_q, LANES), qrow_index),  # lse
+            pl.BlockSpec((1, 1, block_q, LANES), qrow_index),  # delta
+        ],
+        out_specs=pl.BlockSpec((1, 1, block_q, d), qrow_index),
+        out_shape=jax.ShapeDtypeStruct((batch, hq, nq_pad, d), q.dtype),
+        scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
+        compiler_params=_dimension_semantics(
+            "parallel", "parallel", "parallel", "arbitrary"
+        ),
+        interpret=interpret,
+        debug=debug,
+    )(q, k, v, do, lse, delta)
+
+    # --- dK/dV: grid over kv blocks; inner dim sweeps (q-head-in-group ×
+    # q blocks) so GQA head-group gradients accumulate in VMEM scratch.
+    num_inner = group * num_q_blocks
+
+    def first_valid_iq(jk):
+        # Smallest q block index attending kv block jk under causal mask.
+        return jnp.maximum(jk * block_kv - offset, 0) // block_q
+
+    def q_index_dkv(b, hk, jk, inner):
+        g = inner // num_q_blocks
+        iq = inner % num_q_blocks
+        if causal:
+            iq = lax.select(
+                _below_or_on_diag(iq, block_q, jk, block_kv, offset),
+                iq, first_valid_iq(jk),
+            )
+        return (b, hk * group + g, iq, 0)
+
+    def kv_index_dkv(b, hk, jk, inner):
+        return (b, hk, jk, 0)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(
+            _bwd_dkv_kernel, num_q_blocks=num_q_blocks, num_inner=num_inner,
+            **common,
+        ),
+        grid=(batch, hkv, num_kv_blocks, num_inner),
+        in_specs=[
+            pl.BlockSpec((1, 1, block_q, d), q_index_dkv),      # q
+            pl.BlockSpec((1, 1, block_kv, d), kv_index_dkv),    # k
+            pl.BlockSpec((1, 1, block_kv, d), kv_index_dkv),    # v
+            pl.BlockSpec((1, 1, block_q, d), q_index_dkv),      # do
+            pl.BlockSpec((1, 1, block_q, LANES), q_index_dkv),  # lse
+            pl.BlockSpec((1, 1, block_q, LANES), q_index_dkv),  # delta
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, block_kv, d), kv_index_dkv),
+            pl.BlockSpec((1, 1, block_kv, d), kv_index_dkv),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((batch, hkv, nk_pad, d), k.dtype),
+            jax.ShapeDtypeStruct((batch, hkv, nk_pad, d), v.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_kv, d), jnp.float32),
+            pltpu.VMEM((block_kv, d), jnp.float32),
+        ],
+        compiler_params=_dimension_semantics(
+            "parallel", "parallel", "parallel", "arbitrary"
+        ),
+        interpret=interpret,
+        debug=debug,
+    )(q, k, v, do, lse, delta)
+
+    if q_padded:
+        dq = dq[:, :, :nq]
+    if kv_padded:
+        dk = dk[:, :, :nk]
+        dv = dv[:, :, :nk]
+    return dq, dk, dv
+
+
+# ---------------------------------------------------------------------------
+# custom_vjp binding (role of _FlashAttnFn, FA2-triton.py:173-244)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7)
+)
+def _flash_attention(q, k, v, causal, scale, block_sizes, offset, interpret):
+    o, _ = flash_attention_fwd(
+        q, k, v, causal=causal, scale=scale, block_sizes=block_sizes,
+        offset=offset, interpret=interpret,
+    )
+    return o
+
+
+def _flash_attention_vjp_fwd(q, k, v, causal, scale, block_sizes, offset,
+                             interpret):
+    o, lse = flash_attention_fwd(
+        q, k, v, causal=causal, scale=scale, block_sizes=block_sizes,
+        offset=offset, interpret=interpret,
+    )
+    return o, (q, k, v, o, lse)
+
+
+def _flash_attention_vjp_bwd(causal, scale, block_sizes, offset, interpret,
+                             residuals, do):
+    q, k, v, o, lse = residuals
+    dq, dk, dv = flash_attention_bwd(
+        q, k, v, o, lse, do, causal=causal, scale=scale,
+        block_sizes=block_sizes, offset=offset, interpret=interpret,
+    )
+    return dq, dk, dv
+
+
+_flash_attention.defvjp(_flash_attention_vjp_fwd, _flash_attention_vjp_bwd)
+
+
+def flash_attention(
+    q, k, v, *, causal: bool = False, scale: float | None = None,
+    block_sizes: BlockSizes | None = None, offset: int | None = None,
+    interpret: bool | None = None,
+):
+    """Differentiable flash attention (public API).
+
+    The role of `flash_attention(q, k, v, causal=False)`
+    (FA2-triton.py:240-244), with GQA and fp16/bf16/fp32 inputs. Unlike
+    the reference, no dtype auto-cast happens here — pass bf16 for the
+    MXU fast path; fp32 inputs run fp32 (slower, exact-ish).
+
+    Args:
+      q: [batch, q_heads, q_len, head_dim]
+      k, v: [batch, kv_heads, kv_len, head_dim], kv_heads divides q_heads.
+      causal: apply `col <= row + offset` masking (offset defaults to
+        kv_len - q_len so the last q row sees the full kv prefix).
+      scale: softmax scale, default 1/sqrt(head_dim).
+      block_sizes: tile override; default from the VMEM-budget autotuner.
+      interpret: force Pallas interpreter mode (defaults to True off-TPU).
+    """
+    return _flash_attention(
+        q, k, v, causal, scale, block_sizes, offset, interpret
+    )

@@ -1,0 +1,49 @@
+"""Test harness configuration.
+
+Tests run on a virtual 8-device CPU mesh (sharding validated without
+multi-chip hardware); Pallas kernels run in interpreter mode off-TPU
+(flash_attention_tpu.config.interpret_default). Set FA_TPU_TEST_BACKEND=tpu
+to run the suite against a real TPU instead.
+"""
+
+import os
+
+if os.environ.get("FA_TPU_TEST_BACKEND", "cpu") == "cpu":
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
+    import jax
+    # Env-var overrides don't stick here (a site hook may pre-register a
+    # TPU platform before conftest runs); the config API wins as long as
+    # no backend has been initialized yet.
+    jax.config.update("jax_platforms", "cpu")
+
+import jax  # noqa: E402  (import after env setup)
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    """Seeded generator; reference uses mt19937(42) / manual_seed(0)
+    (main.cu:30, FA2-triton.py:329). Inputs ~N(0, 0.02^2) to stay in
+    fp16/bf16 range (test_flash_attn.cu:86, pmph-a6.tex:231)."""
+    return np.random.default_rng(42)
+
+
+def make_qkv(rng, batch, q_heads, kv_heads, q_len, kv_len, head_dim,
+             dtype, std=0.02):
+    import jax.numpy as jnp
+    q = rng.normal(0, std, (batch, q_heads, q_len, head_dim))
+    k = rng.normal(0, std, (batch, kv_heads, kv_len, head_dim))
+    v = rng.normal(0, std, (batch, kv_heads, kv_len, head_dim))
+    return (jnp.asarray(q, dtype), jnp.asarray(k, dtype), jnp.asarray(v, dtype))
+
+
+@pytest.fixture
+def qkv_factory(rng):
+    def factory(*args, **kwargs):
+        return make_qkv(rng, *args, **kwargs)
+    return factory
