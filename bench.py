@@ -1,0 +1,51 @@
+#!/usr/bin/env python
+"""Driver benchmark: one JSON line on stdout.
+
+Headline metric: flash-attention forward TFLOP/s per chip at the
+reference's flagship config (B=1, H=32, N=8192, D=128, bf16, non-causal —
+test_flash_attn.cu:854-869 / BASELINE.md). vs_baseline compares against
+the reference's best published number on A100 (CUTLASS tensor-core
+kernel: 3.02 TFLOP/s, pmph-a6.tex:289).
+"""
+
+import json
+import sys
+
+import numpy as np
+
+BASELINE_TFLOPS = 3.02  # reference CUTLASS-TC at (1,32,8192,128)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from flash_attention_tpu.ops.flash import flash_attention
+    from flash_attention_tpu.utils.bench import bench_attention
+
+    B, H, N, D = 1, 32, 8192, 128
+    rng = np.random.default_rng(42)
+    q = jnp.asarray(rng.normal(0, 0.02, (B, H, N, D)), jnp.bfloat16)
+    k = jnp.asarray(rng.normal(0, 0.02, (B, H, N, D)), jnp.bfloat16)
+    v = jnp.asarray(rng.normal(0, 0.02, (B, H, N, D)), jnp.bfloat16)
+
+    fn = jax.jit(lambda q, k, v: flash_attention(q, k, v))
+    report = bench_attention(
+        "flash_fwd", fn, q, k, v, causal=False, warmup=3, iters=10, inner=5
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "flash_attention_fwd_tflops_1x32x8192x128_bf16",
+                "value": round(report.tflops_per_s, 2),
+                "unit": "TFLOP/s",
+                "vs_baseline": round(report.tflops_per_s / BASELINE_TFLOPS, 2),
+                "latency_ms": round(report.timing.mean_ms, 3),
+                "device": str(jax.devices()[0]),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(main())

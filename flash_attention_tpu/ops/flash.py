@@ -159,7 +159,8 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr,
         l = l_scr[...]
         l_safe = jnp.where(l == 0.0, 1.0, l)       # fully-masked rows -> 0
         o_ref[0, 0] = (acc_scr[...] / l_safe[:, :1]).astype(o_ref.dtype)
-        lse_ref[0, 0] = m_scr[...] + jnp.log(l_safe)
+        if lse_ref is not None:
+            lse_ref[0, 0] = m_scr[...] + jnp.log(l_safe)
 
 
 def _fwd_cost(batch, hq, nq, nk, d, causal, itemsize):
@@ -177,11 +178,12 @@ def _fwd_cost(batch, hq, nq, nk, d, causal, itemsize):
     jax.jit,
     static_argnames=(
         "causal", "scale", "block_sizes", "interpret", "debug", "offset",
+        "save_residuals",
     ),
 )
 def flash_attention_fwd(
     q, k, v, *, causal=False, scale=None, block_sizes=None,
-    offset=None, interpret=None, debug=False,
+    offset=None, interpret=None, debug=False, save_residuals=True,
 ):
     """Forward flash attention. Returns (o, lse) where lse is the fp32
     log-sum-exp per row, lane-replicated as [B, Hq, Nq, 128] (TPU-friendly
@@ -242,22 +244,29 @@ def flash_attention_fwd(
         precision=_mxu_precision(q.dtype),
     )
 
-    out_shape = [
-        jax.ShapeDtypeStruct((batch, hq, nq_pad, d), q.dtype),
-        jax.ShapeDtypeStruct((batch, hq, nq_pad, LANES), jnp.float32),
-    ]
-    o, lse = pl.pallas_call(
-        kernel,
+    out_shape = [jax.ShapeDtypeStruct((batch, hq, nq_pad, d), q.dtype)]
+    out_specs = [pl.BlockSpec((1, 1, block_q, d), q_index)]
+    if save_residuals:
+        # The lane-replicated LSE costs ~2x the O write traffic (fp32 x
+        # 128 lanes); inference paths skip it entirely.
+        out_shape.append(
+            jax.ShapeDtypeStruct((batch, hq, nq_pad, LANES), jnp.float32)
+        )
+        out_specs.append(pl.BlockSpec((1, 1, block_q, LANES), q_index))
+        wrapped = kernel
+    else:
+        def wrapped(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr):
+            kernel(q_ref, k_ref, v_ref, o_ref, None, m_scr, l_scr, acc_scr)
+
+    outs = pl.pallas_call(
+        wrapped,
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 1, block_q, d), q_index),
             pl.BlockSpec((1, 1, block_kv, d), kv_index),
             pl.BlockSpec((1, 1, block_kv, d), kv_index),
         ],
-        out_specs=[
-            pl.BlockSpec((1, 1, block_q, d), q_index),
-            pl.BlockSpec((1, 1, block_q, LANES), q_index),
-        ],
+        out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((block_q, LANES), jnp.float32),   # m
@@ -273,9 +282,10 @@ def flash_attention_fwd(
         interpret=interpret,
         debug=debug,
     )(q, k, v)
+    o, lse = (outs[0], outs[1]) if save_residuals else (outs[0], None)
     if q_padded:
         o = o[:, :, :nq]
-        lse = lse[:, :, :nq]
+        lse = lse[:, :, :nq] if lse is not None else None
     return o, lse
 
 
@@ -558,7 +568,7 @@ def flash_attention_bwd(
 def _flash_attention(q, k, v, causal, scale, block_sizes, offset, interpret):
     o, _ = flash_attention_fwd(
         q, k, v, causal=causal, scale=scale, block_sizes=block_sizes,
-        offset=offset, interpret=interpret,
+        offset=offset, interpret=interpret, save_residuals=False,
     )
     return o
 
