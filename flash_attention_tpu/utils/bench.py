@@ -74,11 +74,20 @@ def measure(fn: Callable, *args, warmup: int = 5, iters: int = 10,
     for _ in range(warmup):
         out = fn(*args, **kwargs)
     device_sync(out)
+
+    # Calibrate: grow the chain until kernel time dominates the sync
+    # round-trip (otherwise its jitter swamps the slope for fast kernels).
+    t_small = statistics.median(chain(1) for _ in range(3))
+    while inner < 4096:
+        t_big = chain(inner)
+        if t_big >= 2.5 * t_small:
+            break
+        inner *= 4
+
     samples = []
     for _ in range(iters):
-        t_small = chain(1)
         t_big = chain(inner)
-        samples.append((t_big - t_small) / (inner - 1))
+        samples.append(max((t_big - t_small) / (inner - 1), 0.0))
     return Timing(
         mean_s=statistics.fmean(samples),
         std_s=statistics.stdev(samples) if len(samples) > 1 else 0.0,
