@@ -1,0 +1,214 @@
+"""Paged attention: decode against page-table-indexed KV pools.
+
+North-star serving kernel (SURVEY.md §7.1 item 5): the KV cache lives in
+fixed-size pages of a global pool; sequences own arbitrary page lists
+(managed by runtime/allocator.py — C++ free-list + refcounted prefix
+sharing). The kernel walks a sequence's page table via scalar prefetch:
+the page id IS the block index map, so "gather" costs nothing — each
+grid step DMAs exactly one live page.
+
+Pool layout: [Hkv, num_pages, page_size, D] — one page holds one head's
+tokens, the same page id is reused across the head dimension, so a
+single allocator page represents page_size tokens for ALL heads.
+
+Quantized pools carry int8/fp8 values plus per-(page, channel-block)
+scales [Hkv, num_pages, page_size/QUANT_BLOCK, D]; dequant happens
+in-loop exactly as in ops/decode.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from flash_attention_tpu.config import LANES, interpret_default
+from flash_attention_tpu.ops.flash import MASK_VALUE
+from flash_attention_tpu.ops.quant import QUANT_BLOCK
+
+DEFAULT_PAGE_SIZE = 256
+
+
+def _paged_kernel(lengths_ref, pt_ref, q_ref, *rest, scale, page_size,
+                  max_pages, quantized):
+    if quantized:
+        k_ref, v_ref, kscale_ref, vscale_ref, o_ref, m_scr, l_scr, acc_scr = rest
+    else:
+        k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr = rest
+
+    b, p = pl.program_id(0), pl.program_id(2)
+    length = lengths_ref[b]
+
+    @pl.when(p == 0)
+    def _init():
+        m_scr[...] = jnp.full_like(m_scr, MASK_VALUE)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    @pl.when(p * page_size < length)
+    def _compute():
+        q = q_ref[0, 0]                              # [G, D]
+        if quantized:
+            kt = k_ref[0, 0].astype(jnp.float32)
+            vt = v_ref[0, 0].astype(jnp.float32)
+            nb = page_size // QUANT_BLOCK
+            d = kt.shape[-1]
+            k = (kt.reshape(nb, QUANT_BLOCK, d) *
+                 kscale_ref[0, 0][:, None, :]).reshape(page_size, d)
+            v = (vt.reshape(nb, QUANT_BLOCK, d) *
+                 vscale_ref[0, 0][:, None, :]).reshape(page_size, d)
+            k = k.astype(q.dtype)
+            v = v.astype(q.dtype)
+        else:
+            k = k_ref[0, 0]
+            v = v_ref[0, 0]
+        s = lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale                                     # [G, page_size]
+        col = lax.broadcasted_iota(jnp.int32, s.shape, 1) + p * page_size
+        s = jnp.where(col >= length, MASK_VALUE, s)
+
+        m_prev = m_scr[...]
+        l_prev = l_scr[...]
+        m_new = jnp.maximum(
+            m_prev,
+            jnp.broadcast_to(jnp.max(s, axis=1, keepdims=True), m_prev.shape),
+        )
+        alpha = jnp.exp(m_prev - m_new)
+        pr = jnp.exp(s - m_new[:, :1])
+        l_scr[...] = alpha * l_prev + jnp.broadcast_to(
+            jnp.sum(pr, axis=1, keepdims=True), l_prev.shape
+        )
+        m_scr[...] = m_new
+        acc_scr[...] = acc_scr[...] * alpha[:, :1] + lax.dot_general(
+            pr.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(p == max_pages - 1)
+    def _store():
+        l = l_scr[...]
+        l_safe = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0, 0] = (acc_scr[...] / l_safe[:, :1]).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("scale", "interpret"),
+)
+def paged_flash_decode(q, k_pool, v_pool, page_table, lengths, *,
+                       k_scales=None, v_scales=None, scale=None,
+                       interpret=None):
+    """Decode attention over paged KV pools.
+
+    Args:
+      q: [B, Hq, D].
+      k_pool, v_pool: [Hkv, num_pages, page_size, D] (bf16/fp16/fp32, or
+        int8/fp8 when k_scales/v_scales are given).
+      page_table: [B, max_pages] int32 — page ids per sequence; slots
+        beyond the live prefix may hold anything in-range.
+      lengths: [B] int32 — live token count per sequence.
+      k_scales, v_scales: [Hkv, num_pages, page_size/QUANT_BLOCK, D] f32
+        for quantized pools.
+
+    Returns [B, Hq, D].
+    """
+    quantized = k_scales is not None
+    if quantized != (v_scales is not None):
+        raise ValueError("k_scales and v_scales must be given together")
+    batch, hq, d = q.shape
+    hkv, num_pages, page_size, _ = k_pool.shape
+    if hq % hkv:
+        raise ValueError(f"Hq={hq} must be a multiple of Hkv={hkv}")
+    group = hq // hkv
+    if page_size % QUANT_BLOCK and quantized:
+        raise ValueError(f"page_size must be a multiple of {QUANT_BLOCK}")
+    if scale is None:
+        scale = float(1.0 / np.sqrt(d))
+    if interpret is None:
+        interpret = interpret_default()
+    max_pages = page_table.shape[1]
+    lengths = lengths.astype(jnp.int32)
+    page_table = page_table.astype(jnp.int32)
+
+    grid = (batch, hkv, max_pages)
+
+    def q_index(b, hk, p, lens, pt):
+        return (b, hk, 0, 0)
+
+    def pool_index(b, hk, p, lens, pt):
+        # Out-of-range steps re-DMA the first live page (cheap, masked).
+        p_live = lax.select(p * page_size < lens[b], p, 0)
+        return (hk, pt[b, p_live], 0, 0)
+
+    in_specs = [
+        pl.BlockSpec((1, 1, group, d), q_index),
+        pl.BlockSpec((1, 1, page_size, d), pool_index),
+        pl.BlockSpec((1, 1, page_size, d), pool_index),
+    ]
+    inputs = [q.reshape(batch, hkv, group, d), k_pool, v_pool]
+    if quantized:
+        in_specs += [
+            pl.BlockSpec((1, 1, page_size // QUANT_BLOCK, d), pool_index),
+            pl.BlockSpec((1, 1, page_size // QUANT_BLOCK, d), pool_index),
+        ]
+        inputs += [k_scales, v_scales]
+
+    out = pl.pallas_call(
+        functools.partial(
+            _paged_kernel, scale=scale, page_size=page_size,
+            max_pages=max_pages, quantized=quantized,
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((1, 1, group, d), q_index),
+            scratch_shapes=[
+                pltpu.VMEM((group, LANES), jnp.float32),
+                pltpu.VMEM((group, LANES), jnp.float32),
+                pltpu.VMEM((group, d), jnp.float32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((batch, hkv, group, d), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(lengths, page_table, *inputs)
+    return out.reshape(batch, hq, d)
+
+
+def paged_decode_reference(q, k_pool, v_pool, page_table, lengths, *,
+                           k_scales=None, v_scales=None, scale=None):
+    """Exact reference: gather pages into contiguous caches, then run the
+    masked softmax in fp32."""
+    from flash_attention_tpu.ops.decode import decode_reference
+    hkv, num_pages, page_size, d = k_pool.shape
+    batch = q.shape[0]
+    max_pages = page_table.shape[1]
+
+    def gather(pool, scales):
+        # [Hkv, P, ps, D] -> [B, Hkv, max_pages*ps, D]
+        g = pool[:, page_table]          # [Hkv, B, maxp, ps, D]
+        g = jnp.moveaxis(g, 1, 0).reshape(
+            batch, hkv, max_pages * page_size, d
+        ).astype(jnp.float32)
+        if scales is not None:
+            sc = scales[:, page_table]   # [Hkv, B, maxp, ps/QB, D]
+            sc = jnp.moveaxis(sc, 1, 0).reshape(
+                batch, hkv, max_pages * (page_size // QUANT_BLOCK), 1, d
+            )
+            g = (g.reshape(batch, hkv, -1, QUANT_BLOCK, d) * sc).reshape(
+                batch, hkv, max_pages * page_size, d
+            )
+        return g
+
+    k = gather(k_pool, k_scales)
+    v = gather(v_pool, v_scales)
+    return decode_reference(q, k, v, lengths, scale=scale)

@@ -1,0 +1,248 @@
+"""ctypes binding for the native paged allocator (+ pure-Python fallback).
+
+The C++ library builds lazily via `make` on first use; if no toolchain is
+available the PyAllocator fallback keeps the runtime functional (tests
+cover both paths against the same contract).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import pathlib
+import subprocess
+import threading
+
+_NATIVE_DIR = pathlib.Path(__file__).parent / "native"
+_SO = _NATIVE_DIR / "libpaged_allocator.so"
+_BUILD_LOCK = threading.Lock()
+
+
+def _load_native():
+    with _BUILD_LOCK:
+        if not _SO.exists():
+            try:
+                subprocess.run(
+                    ["make", "-C", str(_NATIVE_DIR)],
+                    check=True, capture_output=True, timeout=120,
+                )
+            except Exception:
+                return None
+        try:
+            lib = ctypes.CDLL(str(_SO))
+        except OSError:
+            return None
+    lib.pa_create.restype = ctypes.c_void_p
+    lib.pa_create.argtypes = [ctypes.c_int32] * 3
+    lib.pa_destroy.argtypes = [ctypes.c_void_p]
+    lib.pa_num_free_pages.restype = ctypes.c_int32
+    lib.pa_num_free_pages.argtypes = [ctypes.c_void_p]
+    lib.pa_page_size.restype = ctypes.c_int32
+    lib.pa_page_size.argtypes = [ctypes.c_void_p]
+    lib.pa_alloc_seq.restype = ctypes.c_int32
+    lib.pa_alloc_seq.argtypes = [ctypes.c_void_p, ctypes.c_int32]
+    lib.pa_extend.restype = ctypes.c_int32
+    lib.pa_extend.argtypes = [ctypes.c_void_p, ctypes.c_int32,
+                              ctypes.c_int32]
+    lib.pa_fork.restype = ctypes.c_int32
+    lib.pa_fork.argtypes = [ctypes.c_void_p, ctypes.c_int32]
+    lib.pa_cow_last_page.restype = ctypes.c_int32
+    lib.pa_cow_last_page.argtypes = [
+        ctypes.c_void_p, ctypes.c_int32, ctypes.POINTER(ctypes.c_int32)
+    ]
+    lib.pa_free_seq.argtypes = [ctypes.c_void_p, ctypes.c_int32]
+    lib.pa_seq_length.restype = ctypes.c_int32
+    lib.pa_seq_length.argtypes = [ctypes.c_void_p, ctypes.c_int32]
+    lib.pa_page_table.restype = ctypes.c_int32
+    lib.pa_page_table.argtypes = [
+        ctypes.c_void_p, ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int32, ctypes.c_int32,
+    ]
+    return lib
+
+
+_native_lib = None
+_native_tried = False
+
+
+def native_lib():
+    global _native_lib, _native_tried
+    if not _native_tried:
+        _native_lib = _load_native()
+        _native_tried = True
+    return _native_lib
+
+
+class NativeAllocator:
+    """Thin OO wrapper over the C++ allocator."""
+
+    def __init__(self, num_pages: int, page_size: int, max_seqs: int):
+        lib = native_lib()
+        if lib is None:
+            raise RuntimeError("native allocator unavailable")
+        self._lib = lib
+        self._pa = lib.pa_create(num_pages, page_size, max_seqs)
+        if not self._pa:
+            raise ValueError("bad allocator parameters")
+        self.page_size = page_size
+        self.num_pages = num_pages
+        self.max_seqs = max_seqs
+
+    def __del__(self):
+        if getattr(self, "_pa", None):
+            self._lib.pa_destroy(self._pa)
+            self._pa = None
+
+    @property
+    def free_pages(self) -> int:
+        return self._lib.pa_num_free_pages(self._pa)
+
+    def alloc(self, tokens: int) -> int:
+        return self._lib.pa_alloc_seq(self._pa, tokens)
+
+    def extend(self, seq_id: int, new_len: int) -> bool:
+        return self._lib.pa_extend(self._pa, seq_id, new_len) == 0
+
+    def fork(self, src_id: int) -> int:
+        return self._lib.pa_fork(self._pa, src_id)
+
+    def cow_last_page(self, seq_id: int) -> tuple[int, int]:
+        """Returns (page_id, copied_from) — copied_from == -1 when no
+        copy was needed. Raises on OOM."""
+        src = ctypes.c_int32(-1)
+        page = self._lib.pa_cow_last_page(self._pa, seq_id,
+                                          ctypes.byref(src))
+        if page == -2:
+            raise ValueError(f"bad seq {seq_id}")
+        if page == -1:
+            raise MemoryError("no free pages for copy-on-write")
+        return page, src.value
+
+    def free(self, seq_id: int) -> None:
+        self._lib.pa_free_seq(self._pa, seq_id)
+
+    def length(self, seq_id: int) -> int:
+        return self._lib.pa_seq_length(self._pa, seq_id)
+
+    def page_table(self, seq_id: int, max_pages: int, fill: int = 0):
+        import numpy as np
+        out = np.empty(max_pages, np.int32)
+        n = self._lib.pa_page_table(
+            self._pa, seq_id,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            max_pages, fill,
+        )
+        if n < 0:
+            raise ValueError(f"bad seq {seq_id} or table too small")
+        return out, n
+
+
+class PyAllocator:
+    """Pure-Python fallback with the identical contract."""
+
+    def __init__(self, num_pages: int, page_size: int, max_seqs: int):
+        self.page_size = page_size
+        self.num_pages = num_pages
+        self.max_seqs = max_seqs
+        self._free = list(range(num_pages - 1, -1, -1))
+        self._ref = [0] * num_pages
+        self._seqs = [None] * max_seqs  # None or (pages list, length)
+
+    @property
+    def free_pages(self) -> int:
+        return len(self._free)
+
+    def _find_slot(self):
+        for i, s in enumerate(self._seqs):
+            if s is None:
+                return i
+        return -1
+
+    def _pages_needed(self, tokens):
+        return -(-tokens // self.page_size)
+
+    def alloc(self, tokens: int) -> int:
+        sid = self._find_slot()
+        need = self._pages_needed(tokens)
+        if sid < 0 or len(self._free) < need:
+            return -1
+        pages = []
+        for _ in range(need):
+            p = self._free.pop()
+            self._ref[p] = 1
+            pages.append(p)
+        self._seqs[sid] = (pages, tokens)
+        return sid
+
+    def extend(self, seq_id: int, new_len: int) -> bool:
+        if not (0 <= seq_id < self.max_seqs) or self._seqs[seq_id] is None:
+            return False
+        pages, _ = self._seqs[seq_id]
+        need = self._pages_needed(new_len)
+        if need > len(pages):
+            if len(self._free) < need - len(pages):
+                return False
+            for _ in range(need - len(pages)):
+                p = self._free.pop()
+                self._ref[p] = 1
+                pages.append(p)
+        self._seqs[seq_id] = (pages, new_len)
+        return True
+
+    def fork(self, src_id: int) -> int:
+        if self._seqs[src_id] is None:
+            return -1
+        sid = self._find_slot()
+        if sid < 0:
+            return -1
+        pages, length = self._seqs[src_id]
+        for p in pages:
+            self._ref[p] += 1
+        self._seqs[sid] = (list(pages), length)
+        return sid
+
+    def cow_last_page(self, seq_id: int):
+        s = self._seqs[seq_id]
+        if s is None or not s[0]:
+            raise ValueError(f"bad seq {seq_id}")
+        pages, _ = s
+        last = pages[-1]
+        if self._ref[last] == 1:
+            return last, -1
+        if not self._free:
+            raise MemoryError("no free pages for copy-on-write")
+        fresh = self._free.pop()
+        self._ref[fresh] = 1
+        self._ref[last] -= 1
+        pages[-1] = fresh
+        return fresh, last
+
+    def free(self, seq_id: int) -> None:
+        if not (0 <= seq_id < self.max_seqs) or self._seqs[seq_id] is None:
+            return
+        pages, _ = self._seqs[seq_id]
+        for p in pages:
+            self._ref[p] -= 1
+            if self._ref[p] == 0:
+                self._free.append(p)
+        self._seqs[seq_id] = None
+
+    def length(self, seq_id: int) -> int:
+        s = self._seqs[seq_id] if 0 <= seq_id < self.max_seqs else None
+        return s[1] if s else -1
+
+    def page_table(self, seq_id: int, max_pages: int, fill: int = 0):
+        import numpy as np
+        s = self._seqs[seq_id]
+        if s is None or len(s[0]) > max_pages:
+            raise ValueError(f"bad seq {seq_id} or table too small")
+        out = np.full(max_pages, fill, np.int32)
+        out[: len(s[0])] = s[0]
+        return out, len(s[0])
+
+
+def make_allocator(num_pages: int, page_size: int, max_seqs: int):
+    """Native if buildable, else Python fallback."""
+    if native_lib() is not None:
+        return NativeAllocator(num_pages, page_size, max_seqs)
+    return PyAllocator(num_pages, page_size, max_seqs)

@@ -1,0 +1,160 @@
+"""Paged KV-cache manager: device pools + native page allocator.
+
+Runtime layer for serving (north-star; the reference's only state
+management is `ctx.save_for_backward`, FA2-triton.py:203). The manager
+owns:
+
+  * device pools [Hkv, num_pages, page_size, D] for K and V (bf16 by
+    default; `quantize()` converts a populated cache to int8/fp8 pools
+    with per-page channel scales for read-mostly serving),
+  * the native C++ page allocator (free-list, refcounted fork/COW),
+  * host-side sequence bookkeeping (lengths, seq-id <-> batch rows).
+
+Appends are functional jax updates (donate the pools in a jitted serving
+step to make them in-place). Page-table/length tensors for the kernels
+come from `batch_state()`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from flash_attention_tpu.ops.paged import (
+    DEFAULT_PAGE_SIZE,
+    paged_flash_decode,
+)
+from flash_attention_tpu.ops.quant import QUANT_BLOCK, _QMAX
+from flash_attention_tpu.runtime.allocator import make_allocator
+
+
+@jax.jit
+def _write_tokens(pool, page_ids, offsets, new):
+    """Scatter new tokens into pool pages.
+
+    pool: [Hkv, P, ps, D]; page_ids/offsets: [T] int32 per new token;
+    new: [Hkv, T, D]."""
+    return pool.at[:, page_ids, offsets, :].set(
+        jnp.moveaxis(new, 1, 1).astype(pool.dtype)
+    )
+
+
+class PagedKVCache:
+    def __init__(self, *, kv_heads: int, head_dim: int, num_pages: int,
+                 page_size: int = DEFAULT_PAGE_SIZE, max_seqs: int = 64,
+                 dtype=jnp.bfloat16):
+        if page_size % QUANT_BLOCK:
+            raise ValueError(
+                f"page_size must be a multiple of {QUANT_BLOCK}"
+            )
+        self.kv_heads = kv_heads
+        self.head_dim = head_dim
+        self.page_size = page_size
+        self.num_pages = num_pages
+        self.max_seqs = max_seqs
+        self.dtype = dtype
+        self.allocator = make_allocator(num_pages, page_size, max_seqs)
+        shape = (kv_heads, num_pages, page_size, head_dim)
+        self.k_pool = jnp.zeros(shape, dtype)
+        self.v_pool = jnp.zeros(shape, dtype)
+        self.k_scales = None
+        self.v_scales = None
+
+    # --- sequence lifecycle -------------------------------------------
+
+    def add_sequence(self, k_prefix, v_prefix) -> int:
+        """Admit a sequence with prefill K/V [Hkv, T, D]. Returns seq_id
+        or raises MemoryError when the pool is exhausted."""
+        t = k_prefix.shape[1]
+        sid = self.allocator.alloc(max(t, 1))
+        if sid < 0:
+            raise MemoryError("KV pool exhausted")
+        if t:
+            self._write(sid, 0, k_prefix, v_prefix)
+        return sid
+
+    def append_token(self, seq_id: int, k_new, v_new) -> None:
+        """Append one token ([Hkv, D]) to a sequence."""
+        cur = self.allocator.length(seq_id)
+        if cur < 0:
+            raise ValueError(f"dead sequence {seq_id}")
+        if not self.allocator.extend(seq_id, cur + 1):
+            raise MemoryError("KV pool exhausted")
+        self._write(seq_id, cur, k_new[:, None, :], v_new[:, None, :])
+
+    def free_sequence(self, seq_id: int) -> None:
+        self.allocator.free(seq_id)
+
+    def fork_sequence(self, seq_id: int) -> int:
+        sid = self.allocator.fork(seq_id)
+        if sid < 0:
+            raise MemoryError("no sequence slot / pages for fork")
+        return sid
+
+    def _write(self, seq_id: int, start: int, k_new, v_new) -> None:
+        t = k_new.shape[1]
+        max_pages = -(-(start + t) // self.page_size)
+        table, _ = self.allocator.page_table(seq_id, max_pages)
+        pos = np.arange(start, start + t)
+        page_ids = jnp.asarray(table[pos // self.page_size], jnp.int32)
+        offsets = jnp.asarray(pos % self.page_size, jnp.int32)
+        self.k_pool = _write_tokens(self.k_pool, page_ids, offsets, k_new)
+        self.v_pool = _write_tokens(self.v_pool, page_ids, offsets, v_new)
+
+    # --- kernel-facing state ------------------------------------------
+
+    def batch_state(self, seq_ids, max_pages: int | None = None):
+        """(page_table [B, maxp] int32, lengths [B] int32) for a batch."""
+        lengths = np.array(
+            [self.allocator.length(s) for s in seq_ids], np.int32
+        )
+        if max_pages is None:
+            max_pages = max(
+                1, int(-(-lengths.max() // self.page_size))
+            )
+        tables = np.stack([
+            self.allocator.page_table(s, max_pages)[0] for s in seq_ids
+        ])
+        return jnp.asarray(tables), jnp.asarray(lengths)
+
+    def decode(self, q, seq_ids, **kw):
+        """Attention of q [B, Hq, D] against the cached prefixes."""
+        table, lengths = self.batch_state(seq_ids)
+        return paged_flash_decode(
+            q, self.k_pool, self.v_pool, table, lengths,
+            k_scales=self.k_scales, v_scales=self.v_scales, **kw,
+        )
+
+    # --- quantization ---------------------------------------------------
+
+    def quantize(self, dtype=jnp.int8) -> None:
+        """Convert the pools to int8/fp8 with per-(page, channel-block)
+        scales. For read-mostly workloads (prefill once, decode many);
+        subsequent appends require requantizing the touched page."""
+        qmax = _QMAX[jnp.dtype(dtype)]
+
+        def quant(pool):
+            h, p, ps, d = pool.shape
+            xf = pool.astype(jnp.float32).reshape(
+                h, p, ps // QUANT_BLOCK, QUANT_BLOCK, d
+            )
+            absmax = jnp.max(jnp.abs(xf), axis=3, keepdims=True)
+            scales = jnp.maximum(absmax / qmax, 1e-8)
+            q = xf / scales
+            if jnp.dtype(dtype) == jnp.dtype(jnp.int8):
+                q = jnp.clip(jnp.round(q), -qmax, qmax)
+            return q.astype(dtype).reshape(h, p, ps, d), scales[..., 0, :]
+
+        self.k_pool, self.k_scales = quant(self.k_pool)
+        self.v_pool, self.v_scales = quant(self.v_pool)
+        self.dtype = jnp.dtype(dtype)
+
+    @property
+    def hbm_bytes(self) -> int:
+        n = self.k_pool.size * self.k_pool.dtype.itemsize * 2
+        if self.k_scales is not None:
+            n += self.k_scales.size * 4 * 2
+        return n

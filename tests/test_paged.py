@@ -1,0 +1,151 @@
+"""Paged attention kernel + allocator + cache manager."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flash_attention_tpu.ops.paged import (
+    paged_decode_reference,
+    paged_flash_decode,
+)
+from flash_attention_tpu.runtime.allocator import PyAllocator, make_allocator
+from flash_attention_tpu.runtime.kv_cache import PagedKVCache
+from flash_attention_tpu.utils.metrics import verify
+
+
+def test_allocator_contract_native_and_python():
+    for a in (make_allocator(16, 128, 4), PyAllocator(16, 128, 4)):
+        s0 = a.alloc(300)       # 3 pages
+        assert a.free_pages == 13
+        assert a.extend(s0, 400)  # 4 pages
+        table, n = a.page_table(s0, 8)
+        assert n == 4 and len(set(table[:4])) == 4
+        f = a.fork(s0)
+        assert a.free_pages == 12  # shared, no new pages
+        page, copied = a.cow_last_page(f)
+        assert copied == table[3] and page != table[3]
+        a.free(s0)
+        a.free(f)
+        assert a.free_pages == 16
+
+
+def test_allocator_oom_paths():
+    a = PyAllocator(2, 128, 2)
+    s = a.alloc(256)
+    assert s >= 0 and a.alloc(1) == -1        # no pages left
+    assert not a.extend(s, 300)               # would need a 3rd page
+    a.free(s)
+    assert a.alloc(1) >= 0
+
+
+def _random_paged_setup(rng, batch, hq, hkv, d, page_size, lengths_list,
+                        num_pages=64, dtype=jnp.float32):
+    max_pages = max(-(-l // page_size) for l in lengths_list)
+    k_pool = jnp.asarray(
+        rng.normal(0, 0.02, (hkv, num_pages, page_size, d)), dtype)
+    v_pool = jnp.asarray(
+        rng.normal(0, 0.02, (hkv, num_pages, page_size, d)), dtype)
+    # Random non-overlapping page assignment.
+    perm = rng.permutation(num_pages)
+    tables, idx = [], 0
+    for l in lengths_list:
+        n = -(-l // page_size)
+        row = np.zeros(max_pages, np.int32)
+        row[:n] = perm[idx: idx + n]
+        idx += n
+        tables.append(row)
+    q = jnp.asarray(rng.normal(0, 0.02, (batch, hq, d)), dtype)
+    return (q, k_pool, v_pool, jnp.asarray(np.stack(tables)),
+            jnp.asarray(lengths_list, jnp.int32))
+
+
+def test_paged_decode_matches_reference(rng):
+    q, kp, vp, table, lengths = _random_paged_setup(
+        rng, 3, 4, 2, 64, 128, [256, 100, 384])
+    out = paged_flash_decode(q, kp, vp, table, lengths)
+    ref = paged_decode_reference(q, kp, vp, table, lengths)
+    report = verify(out, ref)
+    assert report.passed, str(report)
+
+
+def test_paged_decode_single_page_and_empty_tail(rng):
+    q, kp, vp, table, lengths = _random_paged_setup(
+        rng, 2, 2, 1, 128, 256, [256, 1])
+    out = paged_flash_decode(q, kp, vp, table, lengths)
+    ref = paged_decode_reference(q, kp, vp, table, lengths)
+    assert verify(out, ref).passed
+
+
+def test_paged_cache_end_to_end(rng):
+    """Admit sequences, append decode tokens, attention matches the
+    contiguous-cache reference at every step."""
+    from flash_attention_tpu.ops.decode import decode_reference
+
+    hkv, d = 2, 64
+    cache = PagedKVCache(kv_heads=hkv, head_dim=d, num_pages=32,
+                         page_size=128, max_seqs=4, dtype=jnp.float32)
+    lens = [200, 57]
+    prefixes = []
+    sids = []
+    for l in lens:
+        k = jnp.asarray(rng.normal(0, 0.02, (hkv, l, d)), jnp.float32)
+        v = jnp.asarray(rng.normal(0, 0.02, (hkv, l, d)), jnp.float32)
+        sids.append(cache.add_sequence(k, v))
+        prefixes.append((k, v))
+
+    for step in range(3):
+        q = jnp.asarray(
+            rng.normal(0, 0.02, (len(sids), 4, d)), jnp.float32)
+        out = cache.decode(q, sids)
+        # Build contiguous reference from tracked prefixes.
+        maxlen = max(p[0].shape[1] for p in prefixes)
+        kc = jnp.stack([
+            jnp.pad(p[0], ((0, 0), (0, maxlen - p[0].shape[1]), (0, 0)))
+            for p in prefixes])
+        vc = jnp.stack([
+            jnp.pad(p[1], ((0, 0), (0, maxlen - p[1].shape[1]), (0, 0)))
+            for p in prefixes])
+        ref = decode_reference(
+            q, kc, vc,
+            jnp.asarray([p[0].shape[1] for p in prefixes], jnp.int32))
+        report = verify(out, ref)
+        assert report.passed, f"step {step}: {report}"
+        # Append a new token per sequence.
+        for i, sid in enumerate(sids):
+            kn = jnp.asarray(rng.normal(0, 0.02, (hkv, d)), jnp.float32)
+            vn = jnp.asarray(rng.normal(0, 0.02, (hkv, d)), jnp.float32)
+            cache.append_token(sid, kn, vn)
+            prefixes[i] = (
+                jnp.concatenate([prefixes[i][0], kn[:, None]], axis=1),
+                jnp.concatenate([prefixes[i][1], vn[:, None]], axis=1),
+            )
+
+    cache.free_sequence(sids[0])
+    assert cache.allocator.free_pages > 0
+
+
+def test_paged_quantized_decode(rng):
+    q, kp, vp, table, lengths = _random_paged_setup(
+        rng, 2, 8, 2, 128, 256, [512, 300], dtype=jnp.bfloat16)
+    # Quantize pools page-wise (as PagedKVCache.quantize does).
+    cache = PagedKVCache(kv_heads=2, head_dim=128, num_pages=64,
+                         page_size=256, max_seqs=4)
+    cache.k_pool, cache.v_pool = kp, vp
+    cache.quantize()
+    out = paged_flash_decode(
+        q, cache.k_pool, cache.v_pool, table, lengths,
+        k_scales=cache.k_scales, v_scales=cache.v_scales)
+    ref = paged_decode_reference(
+        q, cache.k_pool, cache.v_pool, table, lengths,
+        k_scales=cache.k_scales, v_scales=cache.v_scales)
+    report = verify(out, ref)
+    assert report.passed, str(report)
+
+
+def test_paged_cache_oom(rng):
+    cache = PagedKVCache(kv_heads=1, head_dim=64, num_pages=2,
+                         page_size=128, max_seqs=2, dtype=jnp.float32)
+    k = jnp.zeros((1, 256, 64), jnp.float32)
+    cache.add_sequence(k, k)
+    with pytest.raises(MemoryError):
+        cache.add_sequence(k[:, :1], k[:, :1])
