@@ -1,0 +1,62 @@
+"""Device-mesh construction.
+
+The TPU-native scaling substrate (SURVEY.md §5: the reference has no
+distributed layer at all — this is the role NCCL/MPI would have played
+had it scaled out). Axis conventions, in mesh-major order:
+
+  dp    data parallel (batch) — gradients all-reduce over ICI/DCN
+  fsdp  fully-sharded data parallel (params + optimizer state sharded)
+  sp    sequence parallel (ring attention rotates KV around this axis)
+  tp    tensor parallel (heads / hidden sharded; activations collective)
+
+Multi-host: `jax.distributed.initialize()` before mesh creation makes
+`jax.devices()` span hosts; the same mesh code then lays axes across
+ICI within a slice and DCN between slices (dp/fsdp outermost so the
+slow axis carries only gradient reductions).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+from jax.sharding import Mesh
+
+
+AXES = ("dp", "fsdp", "sp", "tp")
+
+
+def mesh_shape_for(n_devices: int, *, dp=1, fsdp=1, sp=1, tp=1) -> dict:
+    """Fill in at most one -1 axis to consume the remaining devices."""
+    shape = {"dp": dp, "fsdp": fsdp, "sp": sp, "tp": tp}
+    free = [k for k, v in shape.items() if v == -1]
+    if len(free) > 1:
+        raise ValueError("at most one axis may be -1")
+    fixed = int(np.prod([v for v in shape.values() if v != -1]))
+    if free:
+        if n_devices % fixed:
+            raise ValueError(
+                f"{n_devices} devices not divisible by fixed axes {fixed}"
+            )
+        shape[free[0]] = n_devices // fixed
+        fixed = n_devices
+    if fixed != n_devices:
+        raise ValueError(
+            f"mesh shape {shape} needs {fixed} devices, have {n_devices}"
+        )
+    return shape
+
+
+def make_mesh(*, dp=1, fsdp=1, sp=1, tp=1, devices=None) -> Mesh:
+    """Build a Mesh with the standard axes. Use -1 for one auto axis.
+
+    Axis order puts dp/fsdp outermost (DCN-friendly) and tp innermost
+    (highest-bandwidth ICI neighbors for the most chatty collectives).
+    """
+    if devices is None:
+        devices = jax.devices()
+    shape = mesh_shape_for(len(devices), dp=dp, fsdp=fsdp, sp=sp, tp=tp)
+    arr = np.array(devices).reshape(
+        shape["dp"], shape["fsdp"], shape["sp"], shape["tp"]
+    )
+    return Mesh(arr, AXES)

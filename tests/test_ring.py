@@ -1,0 +1,79 @@
+"""Ring attention on the virtual 8-device CPU mesh vs single-device
+reference — the multi-device testing the reference lacks (SURVEY.md §4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from flash_attention_tpu.config import BlockSizes
+from flash_attention_tpu.ops.reference import attention_reference
+from flash_attention_tpu.parallel.mesh import make_mesh, mesh_shape_for
+from flash_attention_tpu.parallel.ring import make_ring_attention
+from flash_attention_tpu.utils.metrics import verify
+
+BLOCKS = BlockSizes(block_q=128, block_kv=128)
+
+
+def test_mesh_shape_inference():
+    assert mesh_shape_for(8, sp=-1) == {"dp": 1, "fsdp": 1, "sp": 8, "tp": 1}
+    assert mesh_shape_for(8, dp=2, tp=-1) == {
+        "dp": 2, "fsdp": 1, "sp": 1, "tp": 4}
+    with pytest.raises(ValueError):
+        mesh_shape_for(8, dp=3)
+    with pytest.raises(ValueError):
+        mesh_shape_for(8, dp=-1, tp=-1)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_ring_attention_matches_reference(rng, causal):
+    n_dev = len(jax.devices())
+    mesh = make_mesh(sp=n_dev)
+    B, H, N, D = 1, 2, 128 * n_dev, 64
+    q = jnp.asarray(rng.normal(0, 0.02, (B, H, N, D)), jnp.float32)
+    k = jnp.asarray(rng.normal(0, 0.02, (B, H, N, D)), jnp.float32)
+    v = jnp.asarray(rng.normal(0, 0.02, (B, H, N, D)), jnp.float32)
+
+    ring = make_ring_attention(mesh, causal=causal, block_sizes=BLOCKS)
+    out = ring(q, k, v)
+    ref = attention_reference(q, k, v, causal=causal)
+    report = verify(out, ref)
+    assert report.passed, str(report)
+
+
+def test_ring_attention_gqa_with_dp(rng):
+    # Compose dp x sp; GQA heads.
+    mesh = make_mesh(dp=2, sp=4)
+    B, HQ, HKV, N, D = 2, 4, 2, 512, 64
+    q = jnp.asarray(rng.normal(0, 0.02, (B, HQ, N, D)), jnp.float32)
+    k = jnp.asarray(rng.normal(0, 0.02, (B, HKV, N, D)), jnp.float32)
+    v = jnp.asarray(rng.normal(0, 0.02, (B, HKV, N, D)), jnp.float32)
+    spec = P("dp", None, "sp", None)
+    ring = make_ring_attention(mesh, causal=True, qkv_spec=spec,
+                               block_sizes=BLOCKS)
+    out = ring(q, k, v)
+    ref = attention_reference(q, k, v, causal=True)
+    report = verify(out, ref)
+    assert report.passed, str(report)
+
+
+def test_ring_attention_jit_compiles_with_sharding(rng):
+    # Under jit with sharded inputs (the production path).
+    mesh = make_mesh(sp=len(jax.devices()))
+    B, H, N, D = 1, 2, 128 * len(jax.devices()), 64
+    from jax.sharding import NamedSharding
+    sh = NamedSharding(mesh, P(None, None, "sp", None))
+    q = jax.device_put(
+        jnp.asarray(rng.normal(0, 0.02, (B, H, N, D)), jnp.float32), sh)
+    k = jax.device_put(
+        jnp.asarray(rng.normal(0, 0.02, (B, H, N, D)), jnp.float32), sh)
+    v = jax.device_put(
+        jnp.asarray(rng.normal(0, 0.02, (B, H, N, D)), jnp.float32), sh)
+    ring = jax.jit(make_ring_attention(mesh, causal=True,
+                                       block_sizes=BLOCKS))
+    out = ring(q, k, v)
+    ref = attention_reference(q, k, v, causal=True)
+    assert verify(out, ref).passed
+    # Output keeps the sequence sharding.
+    assert out.sharding.spec == P(None, None, "sp", None)
