@@ -1,0 +1,303 @@
+"""Llama-class decoder-only transformer on the flash-attention ops.
+
+Flagship model family (north-star configs 4-5 reference Llama-3-8B/70B
+decode, BASELINE.json). Pure-JAX pytrees — no framework dependency — so
+pjit sharding is explicit and the whole train/decode step stays a single
+XLA program.
+
+Architecture: RMSNorm -> GQA attention (RoPE q/k) -> residual ->
+RMSNorm -> SwiGLU MLP -> residual; untied output head. Attention runs
+the Pallas flash kernel (causal, GQA) in training/prefill and
+flash_decode / paged_flash_decode at inference.
+
+Sharding rules (param_shardings): tp shards heads/ffn, fsdp shards the
+remaining leading dim — the standard 2D layout where tp collectives
+ride the innermost (fastest ICI) mesh axis.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import PartitionSpec as P
+
+from flash_attention_tpu.ops.flash import flash_attention
+from flash_attention_tpu.ops.decode import flash_decode
+
+
+@dataclasses.dataclass(frozen=True)
+class LlamaConfig:
+    vocab_size: int = 32000
+    dim: int = 4096
+    n_layers: int = 32
+    n_heads: int = 32
+    n_kv_heads: int = 8
+    ffn_dim: int = 14336
+    rope_theta: float = 500000.0
+    norm_eps: float = 1e-5
+    dtype: Any = jnp.bfloat16
+
+    @property
+    def head_dim(self) -> int:
+        return self.dim // self.n_heads
+
+    # --- presets -------------------------------------------------------
+
+    @staticmethod
+    def tiny(**kw) -> "LlamaConfig":
+        """Test-scale config."""
+        return LlamaConfig(
+            vocab_size=512, dim=256, n_layers=2, n_heads=4, n_kv_heads=2,
+            ffn_dim=512, **kw,
+        )
+
+    @staticmethod
+    def llama3_8b(**kw) -> "LlamaConfig":
+        return LlamaConfig(
+            vocab_size=128256, dim=4096, n_layers=32, n_heads=32,
+            n_kv_heads=8, ffn_dim=14336, **kw,
+        )
+
+    @staticmethod
+    def llama3_70b(**kw) -> "LlamaConfig":
+        return LlamaConfig(
+            vocab_size=128256, dim=8192, n_layers=80, n_heads=64,
+            n_kv_heads=8, ffn_dim=28672, **kw,
+        )
+
+
+# --- parameters ---------------------------------------------------------
+
+
+def init_params(cfg: LlamaConfig, key) -> dict:
+    """He-style init, params stored in cfg.dtype (master weights in a
+    real run would be fp32 via optax; kept simple here)."""
+    d, hd = cfg.dim, cfg.head_dim
+    keys = jax.random.split(key, 4 + cfg.n_layers)
+
+    def dense(k, shape, fan_in):
+        return (jax.random.normal(k, shape, jnp.float32) /
+                np.sqrt(fan_in)).astype(cfg.dtype)
+
+    layers = []
+    for i in range(cfg.n_layers):
+        lk = jax.random.split(keys[4 + i], 7)
+        layers.append({
+            "attn_norm": jnp.ones((d,), cfg.dtype),
+            "wq": dense(lk[0], (d, cfg.n_heads, hd), d),
+            "wk": dense(lk[1], (d, cfg.n_kv_heads, hd), d),
+            "wv": dense(lk[2], (d, cfg.n_kv_heads, hd), d),
+            "wo": dense(lk[3], (cfg.n_heads, hd, d), cfg.n_heads * hd),
+            "mlp_norm": jnp.ones((d,), cfg.dtype),
+            "w_gate": dense(lk[4], (d, cfg.ffn_dim), d),
+            "w_up": dense(lk[5], (d, cfg.ffn_dim), d),
+            "w_down": dense(lk[6], (cfg.ffn_dim, d), cfg.ffn_dim),
+        })
+    return {
+        "embed": dense(keys[0], (cfg.vocab_size, d), d),
+        "layers": layers,
+        "final_norm": jnp.ones((d,), cfg.dtype),
+        "lm_head": dense(keys[1], (d, cfg.vocab_size), d),
+    }
+
+
+def param_shardings(cfg: LlamaConfig, tp_size: int | None = None) -> dict:
+    """PartitionSpecs: tp over heads/ffn, fsdp over the other big dim.
+
+    When tp does not divide n_kv_heads (GQA with few KV heads on a wide
+    tp axis), KV projections replicate their head dim — the standard
+    fallback; a head-group-aware split is a future refinement."""
+    kv_tp = "tp" if (tp_size is None or cfg.n_kv_heads % tp_size == 0) \
+        else None
+    layer = {
+        "attn_norm": P(),
+        "wq": P("fsdp", "tp", None),
+        "wk": P("fsdp", kv_tp, None),
+        "wv": P("fsdp", kv_tp, None),
+        "wo": P("tp", None, "fsdp"),
+        "mlp_norm": P(),
+        "w_gate": P("fsdp", "tp"),
+        "w_up": P("fsdp", "tp"),
+        "w_down": P("tp", "fsdp"),
+    }
+    return {
+        "embed": P("tp", "fsdp"),
+        "layers": [layer] * cfg.n_layers,
+        "final_norm": P(),
+        "lm_head": P("fsdp", "tp"),
+    }
+
+
+# --- building blocks -----------------------------------------------------
+
+
+def rmsnorm(x, w, eps):
+    xf = x.astype(jnp.float32)
+    scale = jax.lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True) + eps)
+    return (xf * scale).astype(x.dtype) * w
+
+
+def rope(x, positions, theta):
+    """Rotary embedding. x: [B, H, T, D]; positions: [B, T] or [T]."""
+    d = x.shape[-1]
+    freqs = 1.0 / (theta ** (np.arange(0, d, 2, dtype=np.float32) / d))
+    if positions.ndim == 1:
+        positions = positions[None, :]
+    angles = positions[:, None, :, None].astype(jnp.float32) * freqs
+    cos, sin = jnp.cos(angles), jnp.sin(angles)      # [B,1,T,D/2]
+    x1, x2 = x[..., 0::2].astype(jnp.float32), x[..., 1::2].astype(jnp.float32)
+    out = jnp.stack(
+        [x1 * cos - x2 * sin, x1 * sin + x2 * cos], axis=-1
+    ).reshape(x.shape)
+    return out.astype(x.dtype)
+
+
+def _attention_block(layer, x, cfg, positions, kv_cache=None,
+                     cache_lengths=None, attn_impl=None):
+    """Returns (out [B,T,dim], new (k,v) for cache update or None)."""
+    b, t, d = x.shape
+    h = rmsnorm(x, layer["attn_norm"], cfg.norm_eps)
+    q = jnp.einsum("btd,dhk->bhtk", h, layer["wq"])
+    k = jnp.einsum("btd,dhk->bhtk", h, layer["wk"])
+    v = jnp.einsum("btd,dhk->bhtk", h, layer["wv"])
+    q = rope(q, positions, cfg.rope_theta)
+    k = rope(k, positions, cfg.rope_theta)
+
+    if kv_cache is None:
+        if attn_impl is None:
+            attn_impl = functools.partial(flash_attention, causal=True)
+        o = attn_impl(q, k, v)
+    else:
+        # Decode: q is [B, Hq, 1, D]; cache holds the prefix, new k/v
+        # were already written at positions by the caller.
+        ck, cv = kv_cache
+        o = flash_decode(q[:, :, 0], ck, cv, cache_lengths)[:, :, None]
+    out = jnp.einsum("bhtk,hkd->btd", o, layer["wo"])
+    return out, (k, v)
+
+
+def _mlp_block(layer, x, cfg):
+    h = rmsnorm(x, layer["mlp_norm"], cfg.norm_eps)
+    gate = jnp.einsum("btd,df->btf", h, layer["w_gate"])
+    up = jnp.einsum("btd,df->btf", h, layer["w_up"])
+    return jnp.einsum("btf,fd->btd", jax.nn.silu(gate) * up,
+                      layer["w_down"])
+
+
+def forward(params, tokens, cfg: LlamaConfig, *, positions=None,
+            remat: bool = False, attn_impl=None):
+    """Logits [B, T, vocab] for token ids [B, T] (causal training /
+    prefill path)."""
+    b, t = tokens.shape
+    if positions is None:
+        positions = jnp.arange(t, dtype=jnp.int32)
+    x = params["embed"][tokens]
+
+    def layer_fn(x, layer):
+        a, _ = _attention_block(layer, x, cfg, positions,
+                                attn_impl=attn_impl)
+        x = x + a
+        x = x + _mlp_block(layer, x, cfg)
+        return x
+
+    if remat:
+        layer_fn = jax.checkpoint(layer_fn)
+    for layer in params["layers"]:
+        x = layer_fn(x, layer)
+    x = rmsnorm(x, params["final_norm"], cfg.norm_eps)
+    return jnp.einsum("btd,dv->btv", x, params["lm_head"])
+
+
+def loss_fn(params, tokens, cfg: LlamaConfig, *, remat: bool = False):
+    """Next-token cross-entropy (fp32 logits for the softmax)."""
+    logits = forward(params, tokens[:, :-1], cfg, remat=remat)
+    targets = tokens[:, 1:]
+    logits = logits.astype(jnp.float32)
+    logz = jax.nn.logsumexp(logits, axis=-1)
+    gold = jnp.take_along_axis(
+        logits, targets[..., None], axis=-1)[..., 0]
+    return jnp.mean(logz - gold)
+
+
+def make_train_step(cfg: LlamaConfig, optimizer, *, remat: bool = False):
+    """(params, opt_state, tokens) -> (params, opt_state, loss)."""
+
+    def train_step(params, opt_state, tokens):
+        loss, grads = jax.value_and_grad(
+            functools.partial(loss_fn, cfg=cfg, remat=remat)
+        )(params, tokens)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        import optax
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return train_step
+
+
+# --- decode path ----------------------------------------------------------
+
+
+def init_kv_cache(cfg: LlamaConfig, batch: int, max_len: int,
+                  dtype=None):
+    """Contiguous per-layer caches [B, Hkv, S, D] (paged serving uses
+    runtime/kv_cache.py instead)."""
+    dtype = dtype or cfg.dtype
+    shape = (batch, cfg.n_kv_heads, max_len, cfg.head_dim)
+    return [
+        (jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+        for _ in range(cfg.n_layers)
+    ]
+
+
+def prefill(params, tokens, cfg: LlamaConfig, cache):
+    """Run the prompt through the model, filling `cache`. Returns
+    (logits_last [B, vocab], cache, lengths)."""
+    b, t = tokens.shape
+    positions = jnp.arange(t, dtype=jnp.int32)
+    x = params["embed"][tokens]
+    new_cache = []
+    for layer, (ck, cv) in zip(params["layers"], cache):
+        a, (k, v) = _attention_block(layer, x, cfg, positions)
+        ck = jax.lax.dynamic_update_slice(
+            ck, k.astype(ck.dtype), (0, 0, 0, 0))
+        cv = jax.lax.dynamic_update_slice(
+            cv, v.astype(cv.dtype), (0, 0, 0, 0))
+        new_cache.append((ck, cv))
+        x = x + a
+        x = x + _mlp_block(layer, x, cfg)
+    x = rmsnorm(x, params["final_norm"], cfg.norm_eps)
+    logits = jnp.einsum("bd,dv->bv", x[:, -1], params["lm_head"])
+    lengths = jnp.full((b,), t, jnp.int32)
+    return logits, new_cache, lengths
+
+
+def decode_step(params, token, cfg: LlamaConfig, cache, lengths):
+    """One decode step. token: [B] ids; returns (logits [B, vocab],
+    cache, lengths+1)."""
+    b = token.shape[0]
+    positions = lengths[:, None]                      # [B, 1]
+    x = params["embed"][token][:, None]               # [B, 1, D]
+    new_cache = []
+    for layer, (ck, cv) in zip(params["layers"], cache):
+        h = rmsnorm(x, layer["attn_norm"], cfg.norm_eps)
+        q = jnp.einsum("btd,dhk->bhtk", h, layer["wq"])
+        k = jnp.einsum("btd,dhk->bhtk", h, layer["wk"])
+        v = jnp.einsum("btd,dhk->bhtk", h, layer["wv"])
+        q = rope(q, positions, cfg.rope_theta)
+        k = rope(k, positions, cfg.rope_theta)
+        # Write the new token at its position in the cache.
+        bidx = jnp.arange(b)
+        ck = ck.at[bidx, :, lengths].set(k[:, :, 0])
+        cv = cv.at[bidx, :, lengths].set(v[:, :, 0])
+        new_cache.append((ck, cv))
+        o = flash_decode(q[:, :, 0], ck, cv, lengths + 1)[:, :, None]
+        x = x + jnp.einsum("bhtk,hkd->btd", o, layer["wo"])
+        x = x + _mlp_block(layer, x, cfg)
+    x = rmsnorm(x, params["final_norm"], cfg.norm_eps)
+    logits = jnp.einsum("bd,dv->bv", x[:, 0], params["lm_head"])
+    return logits, new_cache, lengths + 1

@@ -147,8 +147,9 @@ def flash_decode(q, k, v, lengths, *, scale=None, block_kv=DEFAULT_BLOCK_KV,
         scale = float(1.0 / np.sqrt(d))
     if interpret is None:
         interpret = interpret_default()
-    block_kv = min(block_kv, round_up(s, QUANT_BLOCK))
-    if s % block_kv:
+    if s <= block_kv:
+        block_kv = s          # single block; any length is a legal block
+    elif s % block_kv:
         raise ValueError(f"cache length {s} must be a multiple of "
                          f"block_kv={block_kv}")
     num_kv_blocks = s // block_kv
