@@ -58,7 +58,9 @@ def test_graft_entry_single():
     import __graft_entry__ as g
     fn, args = g.entry()
     o = jax.jit(fn)(*args)
-    assert o.shape == args[0].shape
+    params, tokens = args
+    assert o.shape[:2] == tokens.shape  # [B, T, vocab] logits
+    assert o.ndim == 3
 
 
 def test_graft_entry_multichip():
