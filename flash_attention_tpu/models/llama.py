@@ -242,6 +242,81 @@ def make_train_step(cfg: LlamaConfig, optimizer, *, remat: bool = False):
 # --- decode path ----------------------------------------------------------
 
 
+def prefill_kv(params, tokens, cfg: LlamaConfig, *, true_len=None):
+    """Prompt forward for paged serving: returns (logits_at_last_token
+    [B, vocab], ks, vs) where ks/vs are [n_layers, B, Hkv, T, D] stacks
+    ready for page scatter. `true_len` ([B] or int) marks the real prompt
+    length when `tokens` is right-padded to a compile bucket — logits are
+    taken at position true_len-1 and padded KV positions are garbage the
+    caller must not write into pages."""
+    b, t = tokens.shape
+    positions = jnp.arange(t, dtype=jnp.int32)
+    x = params["embed"][tokens]
+    ks, vs = [], []
+    for layer in params["layers"]:
+        a, (k, v) = _attention_block(layer, x, cfg, positions)
+        ks.append(k)
+        vs.append(v)
+        x = x + a
+        x = x + _mlp_block(layer, x, cfg)
+    x = rmsnorm(x, params["final_norm"], cfg.norm_eps)
+    if true_len is None:
+        last = x[:, -1]
+    else:
+        idx = jnp.asarray(true_len, jnp.int32) - 1
+        idx = jnp.broadcast_to(idx, (b,))
+        last = jnp.take_along_axis(x, idx[:, None, None], axis=1)[:, 0]
+    logits = jnp.einsum("bd,dv->bv", last, params["lm_head"])
+    return logits, jnp.stack(ks), jnp.stack(vs)
+
+
+def decode_step_paged(params, token, cfg: LlamaConfig, k_pools, v_pools,
+                      page_tables, lengths):
+    """One decode step against layered paged KV pools.
+
+    token: [B] ids; k_pools/v_pools: [L, Hkv, P, page_size, D];
+    page_tables: [B, max_pages] int32; lengths: [B] int32 — live prefix
+    length BEFORE this token (the new token is written at position
+    lengths[b], whose page must already be allocated; dead slots should
+    map every table entry to a scratch page and carry length 0).
+
+    Returns (logits [B, vocab], k_pools, v_pools) — donate the pools in
+    the enclosing jit for in-place HBM updates.
+    """
+    from flash_attention_tpu.ops.paged import paged_flash_decode
+
+    b = token.shape[0]
+    page_size = k_pools.shape[3]
+    positions = lengths[:, None]                      # [B, 1]
+    pids = jnp.take_along_axis(
+        page_tables, (lengths // page_size)[:, None], axis=1
+    )[:, 0]                                           # [B]
+    offs = lengths % page_size                        # [B]
+    x = params["embed"][token][:, None]               # [B, 1, D]
+    for li, layer in enumerate(params["layers"]):
+        h = rmsnorm(x, layer["attn_norm"], cfg.norm_eps)
+        q = jnp.einsum("btd,dhk->bhtk", h, layer["wq"])
+        k = jnp.einsum("btd,dhk->bhtk", h, layer["wk"])
+        v = jnp.einsum("btd,dhk->bhtk", h, layer["wv"])
+        q = rope(q, positions, cfg.rope_theta)
+        k = rope(k, positions, cfg.rope_theta)
+        # Scatter the new token into its page. The integer layer index
+        # plus [B]-shaped page/offset indices are non-adjacent advanced
+        # indices, so the batch dim lands in front: update is [B,Hkv,D].
+        k_pools = k_pools.at[li, :, pids, offs, :].set(
+            k[:, :, 0].astype(k_pools.dtype))
+        v_pools = v_pools.at[li, :, pids, offs, :].set(
+            v[:, :, 0].astype(v_pools.dtype))
+        o = paged_flash_decode(
+            q[:, :, 0], k_pools[li], v_pools[li], page_tables, lengths + 1,
+        )[:, :, None]
+        x = x + jnp.einsum("bhtk,hkd->btd", o, layer["wo"])
+        x = x + _mlp_block(layer, x, cfg)
+    x = rmsnorm(x, params["final_norm"], cfg.norm_eps)
+    logits = jnp.einsum("bd,dv->bv", x[:, 0], params["lm_head"])
+    return logits, k_pools, v_pools
+
+
 def init_kv_cache(cfg: LlamaConfig, batch: int, max_len: int,
                   dtype=None):
     """Contiguous per-layer caches [B, Hkv, S, D] (paged serving uses

@@ -1,0 +1,300 @@
+"""Continuous-batching serving engine over the paged KV cache.
+
+North-star subsystem (BASELINE.json: "paged KV-cache blocks feed a
+continuous-batching decode loop") with no reference counterpart — the
+reference has no inference runtime at all (SURVEY.md §5, "checkpoint /
+resume: none; failure detection: none").
+
+Design, TPU-first:
+
+  * XLA wants static shapes, so "continuous batching" is a fixed-width
+    slot array: `max_batch` decode slots, each holding one live sequence
+    or a dead marker. One jitted `decode_step_paged` call advances every
+    slot per engine step; dead slots carry length 0 (fully masked
+    attention) and point their page tables at a reserved scratch page so
+    their token writes are harmless. Slot recycling — admit into a slot
+    the moment its sequence finishes — is the host-side scheduler's job
+    and costs no recompilation.
+  * Prefill runs per admitted request, padded to a compile-size bucket
+    (powers of two), so arbitrary prompt lengths hit a handful of
+    compiled programs. Prompt KV is scattered into pages in one fused
+    update; the first token samples from the prefill logits.
+  * Admission control reserves worst-case pages (prompt + max_new_tokens)
+    for every live sequence, so a mid-flight `extend` can never fail and
+    no preemption path is needed — the allocator's free count minus
+    outstanding reservations gates admission (head-of-line FIFO).
+  * The KV pools are donated through the jitted decode step, so the
+    update is in-place in HBM; per step the only host<->device traffic
+    is the token ids in and sampled ids out.
+"""
+
+from __future__ import annotations
+
+import collections
+import dataclasses
+import functools
+import itertools
+import time
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from flash_attention_tpu.models.llama import (
+    LlamaConfig,
+    decode_step_paged,
+    prefill_kv,
+)
+from flash_attention_tpu.runtime.kv_cache import (
+    DEFAULT_PAGE_SIZE,
+    LayeredPagedKVCache,
+)
+
+_req_counter = itertools.count()
+
+
+@dataclasses.dataclass
+class Request:
+    prompt: Any                       # [T] int array-like of token ids
+    max_new_tokens: int = 32
+    temperature: float = 0.0          # 0 = greedy
+    eos_id: int | None = None
+    request_id: int = dataclasses.field(
+        default_factory=lambda: next(_req_counter))
+
+
+@dataclasses.dataclass
+class Completion:
+    request_id: int
+    prompt_len: int
+    tokens: list                      # generated token ids
+    finish_reason: str                # "stop" | "length"
+
+
+@dataclasses.dataclass
+class _Slot:
+    request: Request
+    seq_id: int
+    prompt_len: int
+    length: int                       # tokens whose KV is in the cache
+    next_token: int                   # fed into the next decode step
+    generated: list
+    worst_pages: int                  # admission reservation
+
+
+@dataclasses.dataclass
+class EngineStats:
+    prefill_tokens: int = 0
+    decode_tokens: int = 0
+    engine_steps: int = 0
+    prefill_s: float = 0.0
+    decode_s: float = 0.0
+
+    @property
+    def decode_tokens_per_s(self) -> float:
+        return self.decode_tokens / self.decode_s if self.decode_s else 0.0
+
+
+def _bucket(n: int, lo: int = 64) -> int:
+    b = lo
+    while b < n:
+        b *= 2
+    return b
+
+
+class Engine:
+    """Continuous-batching engine for a Llama-class model."""
+
+    def __init__(self, params, cfg: LlamaConfig, *, max_batch: int = 8,
+                 num_pages: int = 128, page_size: int = DEFAULT_PAGE_SIZE,
+                 max_seq_len: int | None = None, cache_dtype=None,
+                 seed: int = 0):
+        self.params = params
+        self.cfg = cfg
+        self.max_batch = max_batch
+        if max_seq_len is None:
+            max_seq_len = num_pages * page_size
+        self.max_seq_len = max_seq_len
+        self.max_pages = -(-max_seq_len // page_size)
+        self.cache = LayeredPagedKVCache(
+            n_layers=cfg.n_layers, kv_heads=cfg.n_kv_heads,
+            head_dim=cfg.head_dim, num_pages=num_pages,
+            page_size=page_size, max_seqs=max_batch,
+            dtype=cache_dtype or cfg.dtype,
+        )
+        self.slots: list[_Slot | None] = [None] * max_batch
+        self.pending: collections.deque[Request] = collections.deque()
+        self.stats = EngineStats()
+        self._key = jax.random.PRNGKey(seed)
+
+        def _decode(params, token, k_pools, v_pools, tables, lengths):
+            return decode_step_paged(
+                params, token, cfg, k_pools, v_pools, tables, lengths)
+
+        def _prefill(params, tokens, true_len):
+            return prefill_kv(params, tokens, cfg, true_len=true_len)
+
+        self._decode_fn = jax.jit(_decode, donate_argnums=(2, 3))
+        self._prefill_fn = jax.jit(_prefill)
+
+    # --- scheduling -------------------------------------------------------
+
+    def submit(self, request: Request) -> int:
+        self.pending.append(request)
+        return request.request_id
+
+    @property
+    def num_active(self) -> int:
+        return sum(s is not None for s in self.slots)
+
+    def _reserved_pages(self) -> int:
+        """Pages still owed to live sequences under worst-case growth."""
+        owed = 0
+        for s in self.slots:
+            if s is None:
+                continue
+            allocated = self.cache.pages_for(max(self.cache.length(s.seq_id), 1))
+            owed += max(0, s.worst_pages - allocated)
+        return owed
+
+    def _try_admit(self) -> list[Completion]:
+        """FIFO admission into free slots, reserving worst-case pages."""
+        done = []
+        while self.pending:
+            try:
+                slot_idx = self.slots.index(None)
+            except ValueError:
+                break
+            req = self.pending[0]
+            prompt = np.asarray(req.prompt, np.int32)
+            t = len(prompt)
+            if t + req.max_new_tokens > self.max_seq_len:
+                raise ValueError(
+                    f"request {req.request_id}: prompt {t} + max_new "
+                    f"{req.max_new_tokens} exceeds max_seq_len "
+                    f"{self.max_seq_len}")
+            worst = self.cache.pages_for(t + req.max_new_tokens)
+            if self.cache.free_pages - self._reserved_pages() < worst:
+                break                       # wait for pages to free up
+            self.pending.popleft()
+
+            tb = _bucket(t)
+            padded = np.zeros((1, tb), np.int32)
+            padded[0, :t] = prompt
+            t0 = time.perf_counter()
+            logits, ks, vs = self._prefill_fn(
+                self.params, jnp.asarray(padded), true_len=t)
+            sid = self.cache.add_sequence(ks[:, 0, :, :t], vs[:, 0, :, :t])
+            first = self._sample_one(logits[0], req.temperature)
+            jax.block_until_ready(self.cache.k_pools)
+            self.stats.prefill_s += time.perf_counter() - t0
+            self.stats.prefill_tokens += t
+
+            slot = _Slot(request=req, seq_id=sid, prompt_len=t, length=t,
+                         next_token=first, generated=[first],
+                         worst_pages=worst)
+            fin = self._maybe_finish(slot)
+            if fin is not None:
+                done.append(fin)
+            else:
+                self.slots[slot_idx] = slot
+        return done
+
+    def _maybe_finish(self, slot: _Slot) -> Completion | None:
+        req = slot.request
+        last = slot.generated[-1]
+        if req.eos_id is not None and last == req.eos_id:
+            reason = "stop"
+        elif len(slot.generated) >= req.max_new_tokens:
+            reason = "length"
+        else:
+            return None
+        self.cache.free_sequence(slot.seq_id)
+        return Completion(
+            request_id=req.request_id, prompt_len=slot.prompt_len,
+            tokens=list(slot.generated), finish_reason=reason,
+        )
+
+    # --- sampling ---------------------------------------------------------
+
+    def _next_key(self):
+        self._key, sub = jax.random.split(self._key)
+        return sub
+
+    def _sample_one(self, logits, temperature: float) -> int:
+        if temperature <= 0.0:
+            return int(jnp.argmax(logits))
+        return int(jax.random.categorical(
+            self._next_key(), logits / temperature))
+
+    def _sample_batch(self, logits, temps: np.ndarray) -> np.ndarray:
+        """Per-slot temperature: greedy where temp<=0, categorical else."""
+        greedy = jnp.argmax(logits, axis=-1)
+        if (temps <= 0.0).all():
+            return np.asarray(greedy, np.int32)
+        t = jnp.asarray(np.maximum(temps, 1e-6))[:, None]
+        cat = jax.random.categorical(self._next_key(), logits / t, axis=-1)
+        return np.asarray(
+            jnp.where(jnp.asarray(temps) <= 0.0, greedy, cat), np.int32)
+
+    # --- engine step ------------------------------------------------------
+
+    def step(self) -> list[Completion]:
+        """One engine iteration: admit, one fused decode step, collect
+        finished sequences. Returns completions finished this step."""
+        done = self._try_admit()
+        live = [i for i, s in enumerate(self.slots) if s is not None]
+        if not live:
+            self.stats.engine_steps += 1
+            return done
+
+        # Materialize the page for each live slot's next position before
+        # the fused step (reservation guarantees success).
+        for i in live:
+            s = self.slots[i]
+            if not self.cache.extend(s.seq_id, s.length + 1):
+                raise RuntimeError(
+                    "page reservation violated — allocator exhausted")
+
+        tokens = np.zeros(self.max_batch, np.int32)
+        lengths = np.zeros(self.max_batch, np.int32)
+        for i in live:
+            tokens[i] = self.slots[i].next_token
+            lengths[i] = self.slots[i].length
+        tables, _ = self.cache.batch_state(
+            [s.seq_id if s else -1 for s in self.slots], self.max_pages)
+
+        t0 = time.perf_counter()
+        logits, self.cache.k_pools, self.cache.v_pools = self._decode_fn(
+            self.params, jnp.asarray(tokens),
+            self.cache.k_pools, self.cache.v_pools,
+            tables, jnp.asarray(lengths),
+        )
+        temps = np.array(
+            [self.slots[i].request.temperature if i in live else 0.0
+             for i in range(self.max_batch)], np.float32)
+        nxt = self._sample_batch(logits, temps)
+        self.stats.decode_s += time.perf_counter() - t0
+        self.stats.decode_tokens += len(live)
+        self.stats.engine_steps += 1
+
+        for i in live:
+            s = self.slots[i]
+            s.length += 1
+            s.next_token = int(nxt[i])
+            s.generated.append(int(nxt[i]))
+            fin = self._maybe_finish(s)
+            if fin is not None:
+                done.append(fin)
+                self.slots[i] = None
+        return done
+
+    def run(self, requests=None) -> list[Completion]:
+        """Serve until every pending/submitted request completes."""
+        for r in requests or []:
+            self.submit(r)
+        out = []
+        while self.pending or self.num_active:
+            out.extend(self.step())
+        return sorted(out, key=lambda c: c.request_id)

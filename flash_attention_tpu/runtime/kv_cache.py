@@ -158,3 +158,102 @@ class PagedKVCache:
         if self.k_scales is not None:
             n += self.k_scales.size * 4 * 2
         return n
+
+
+@jax.jit
+def _write_layered(pool, page_ids, offsets, new):
+    """Scatter prefill tokens into layered pools.
+
+    pool: [L, Hkv, P, ps, D]; page_ids/offsets: [T] int32;
+    new: [L, Hkv, T, D]."""
+    return pool.at[:, :, page_ids, offsets, :].set(new.astype(pool.dtype))
+
+
+class LayeredPagedKVCache:
+    """Per-layer paged K/V pools sharing one page allocator.
+
+    A page id indexes the same slot in every layer's pool, so one
+    allocator page represents `page_size` tokens across ALL layers and
+    heads — sequence bookkeeping stays model-agnostic. Page 0 is reserved
+    as a scratch page: dead decode slots point their whole page table at
+    it, so their (masked) token writes land harmlessly.
+    """
+
+    def __init__(self, *, n_layers: int, kv_heads: int, head_dim: int,
+                 num_pages: int, page_size: int = DEFAULT_PAGE_SIZE,
+                 max_seqs: int = 64, dtype=jnp.bfloat16):
+        self.n_layers = n_layers
+        self.kv_heads = kv_heads
+        self.head_dim = head_dim
+        self.page_size = page_size
+        self.num_pages = num_pages
+        self.max_seqs = max_seqs
+        self.dtype = dtype
+        # +1 slot / +1 page for the reserved scratch sequence.
+        self.allocator = make_allocator(num_pages, page_size, max_seqs + 1)
+        self._scratch_sid = self.allocator.alloc(1)
+        self.scratch_page = int(
+            self.allocator.page_table(self._scratch_sid, 1)[0][0]
+        )
+        shape = (n_layers, kv_heads, num_pages, page_size, head_dim)
+        self.k_pools = jnp.zeros(shape, dtype)
+        self.v_pools = jnp.zeros(shape, dtype)
+
+    @property
+    def free_pages(self) -> int:
+        return self.allocator.free_pages
+
+    def pages_for(self, tokens: int) -> int:
+        return -(-tokens // self.page_size)
+
+    def add_sequence(self, ks, vs) -> int:
+        """Admit a sequence with prefill K/V [L, Hkv, T, D] (or reserve
+        empty with ks=vs=None and a later write). Returns seq_id; raises
+        MemoryError when the pool/slots are exhausted."""
+        t = ks.shape[2] if ks is not None else 1
+        sid = self.allocator.alloc(max(t, 1))
+        if sid < 0:
+            raise MemoryError("KV pool exhausted")
+        if ks is not None and t:
+            self.write(sid, 0, ks, vs)
+        return sid
+
+    def extend(self, seq_id: int, new_len: int) -> bool:
+        return self.allocator.extend(seq_id, new_len)
+
+    def free_sequence(self, seq_id: int) -> None:
+        self.allocator.free(seq_id)
+
+    def length(self, seq_id: int) -> int:
+        return self.allocator.length(seq_id)
+
+    def write(self, seq_id: int, start: int, ks, vs) -> None:
+        """Write ks/vs [L, Hkv, T, D] at token offset `start`."""
+        t = ks.shape[2]
+        max_pages = -(-(start + t) // self.page_size)
+        table, _ = self.allocator.page_table(seq_id, max_pages)
+        pos = np.arange(start, start + t)
+        page_ids = jnp.asarray(table[pos // self.page_size], jnp.int32)
+        offsets = jnp.asarray(pos % self.page_size, jnp.int32)
+        self.k_pools = _write_layered(self.k_pools, page_ids, offsets, ks)
+        self.v_pools = _write_layered(self.v_pools, page_ids, offsets, vs)
+
+    def batch_state(self, seq_ids, max_pages: int):
+        """(page_tables [B, max_pages] int32, lengths [B] int32). Dead
+        slots (seq_id < 0) get length 0 and a scratch-page table."""
+        tables = np.full((len(seq_ids), max_pages), self.scratch_page,
+                         np.int32)
+        lengths = np.zeros(len(seq_ids), np.int32)
+        for i, sid in enumerate(seq_ids):
+            if sid is None or sid < 0:
+                continue
+            lengths[i] = self.allocator.length(sid)
+            tbl, n = self.allocator.page_table(
+                sid, max_pages, fill=self.scratch_page
+            )
+            tables[i] = tbl
+        return jnp.asarray(tables), jnp.asarray(lengths)
+
+    @property
+    def hbm_bytes(self) -> int:
+        return 2 * self.k_pools.size * self.k_pools.dtype.itemsize

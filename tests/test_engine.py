@@ -1,0 +1,123 @@
+"""Continuous-batching engine: correctness vs the contiguous decode
+path, slot recycling, page accounting, admission under memory pressure."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flash_attention_tpu.models.llama import (
+    LlamaConfig,
+    init_params,
+)
+from flash_attention_tpu.models.sampling import generate
+from flash_attention_tpu.runtime.engine import Completion, Engine, Request
+
+CFG = LlamaConfig.tiny(dtype=jnp.float32)
+PAGE = 128  # QUANT_BLOCK-aligned
+
+
+@pytest.fixture(scope="module")
+def params():
+    return init_params(CFG, jax.random.PRNGKey(0))
+
+
+def make_engine(params, **kw):
+    kw.setdefault("max_batch", 4)
+    kw.setdefault("num_pages", 32)
+    kw.setdefault("page_size", PAGE)
+    return Engine(params, CFG, **kw)
+
+
+def ref_greedy(params, prompt, n):
+    """Reference generation through the contiguous-cache path."""
+    out = generate(params, jnp.asarray([prompt], jnp.int32), CFG,
+                   max_new_tokens=n)
+    return [int(x) for x in np.asarray(out[0])]
+
+
+def test_engine_matches_contiguous_greedy(params, rng):
+    prompts = [
+        list(rng.integers(0, CFG.vocab_size, 7)),
+        list(rng.integers(0, CFG.vocab_size, 20)),
+        list(rng.integers(0, CFG.vocab_size, 13)),
+    ]
+    eng = make_engine(params)
+    reqs = [Request(prompt=p, max_new_tokens=6) for p in prompts]
+    completions = eng.run(reqs)
+    assert len(completions) == 3
+    by_id = {c.request_id: c for c in completions}
+    for req, prompt in zip(reqs, prompts):
+        got = by_id[req.request_id].tokens
+        want = ref_greedy(params, prompt, 6)
+        assert got == want, (got, want)
+        assert by_id[req.request_id].finish_reason == "length"
+        assert by_id[req.request_id].prompt_len == len(prompt)
+
+
+def test_engine_more_requests_than_slots(params, rng):
+    """Requests beyond max_batch queue up and recycle freed slots."""
+    prompts = [list(rng.integers(0, CFG.vocab_size, 5 + i))
+               for i in range(7)]
+    eng = make_engine(params, max_batch=2, num_pages=16)
+    free0 = eng.cache.free_pages
+    completions = eng.run(
+        [Request(prompt=p, max_new_tokens=3) for p in prompts])
+    assert len(completions) == 7
+    for c, p in zip(completions, prompts):
+        assert c.tokens == ref_greedy(params, p, 3)
+    # All pages returned after completion.
+    assert eng.cache.free_pages == free0
+
+
+def test_engine_eos_stops_early(params, rng):
+    prompt = list(rng.integers(0, CFG.vocab_size, 9))
+    want = ref_greedy(params, prompt, 8)
+    eos = want[2]
+    eng = make_engine(params)
+    (c,) = eng.run([Request(prompt=prompt, max_new_tokens=8, eos_id=eos)])
+    assert c.finish_reason == "stop"
+    # Generation must stop at the FIRST occurrence of eos.
+    assert c.tokens == want[: want.index(eos) + 1]
+
+
+def test_engine_page_boundary_crossing(params, rng):
+    """Generation that crosses a page boundary stays correct."""
+    t = PAGE - 2
+    prompt = list(rng.integers(0, CFG.vocab_size, t))
+    eng = make_engine(params, num_pages=8)
+    (c,) = eng.run([Request(prompt=prompt, max_new_tokens=6)])
+    assert c.tokens == ref_greedy(params, prompt, 6)
+
+
+def test_engine_admission_defers_under_pressure(params, rng):
+    """With pages for only one worst-case sequence, requests serialize
+    but all complete."""
+    prompts = [list(rng.integers(0, CFG.vocab_size, PAGE + 10))
+               for _ in range(3)]
+    # Each request worst-case needs ceil((138+4)/128)=2 pages; pool of 3
+    # usable pages (one is scratch-reserved at init from num_pages=4).
+    eng = make_engine(params, max_batch=4, num_pages=4)
+    completions = eng.run(
+        [Request(prompt=p, max_new_tokens=4) for p in prompts])
+    assert len(completions) == 3
+    for c, p in zip(sorted(completions, key=lambda c: c.request_id),
+                    prompts):
+        assert c.tokens == ref_greedy(params, p, 4)
+
+
+def test_engine_temperature_sampling_runs(params, rng):
+    """Stochastic path: shapes/liveness only (no fixed-point contract)."""
+    prompt = list(rng.integers(0, CFG.vocab_size, 6))
+    eng = make_engine(params)
+    (c,) = eng.run([Request(prompt=prompt, max_new_tokens=5,
+                            temperature=0.8)])
+    assert len(c.tokens) == 5
+    assert all(0 <= t < CFG.vocab_size for t in c.tokens)
+
+
+def test_engine_rejects_oversized_request(params):
+    eng = make_engine(params, num_pages=4)
+    eng.submit(Request(prompt=[1] * 10, max_new_tokens=10_000))
+    with pytest.raises(ValueError, match="exceeds max_seq_len"):
+        eng.step()
