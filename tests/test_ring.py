@@ -10,7 +10,11 @@ from jax.sharding import PartitionSpec as P
 from flash_attention_tpu.config import BlockSizes
 from flash_attention_tpu.ops.reference import attention_reference
 from flash_attention_tpu.parallel.mesh import make_mesh, mesh_shape_for
-from flash_attention_tpu.parallel.ring import make_ring_attention
+from flash_attention_tpu.parallel.ring import (
+    make_ring_attention,
+    zigzag_inverse,
+    zigzag_order,
+)
 from flash_attention_tpu.utils.metrics import verify
 
 BLOCKS = BlockSizes(block_q=128, block_kv=128)
@@ -56,6 +60,71 @@ def test_ring_attention_gqa_with_dp(rng):
     ref = attention_reference(q, k, v, causal=True)
     report = verify(out, ref)
     assert report.passed, str(report)
+
+
+def test_zigzag_permutation_roundtrip():
+    p = zigzag_order(16, 4)
+    inv = zigzag_inverse(16, 4)
+    np.testing.assert_array_equal(p[inv], np.arange(16))
+    # Device 0's shard = chunks 0 and 7 of the 8-way split.
+    np.testing.assert_array_equal(p[:4], [0, 1, 14, 15])
+
+
+def test_ring_attention_zigzag_causal_matches_reference(rng):
+    n_dev = len(jax.devices())
+    mesh = make_mesh(sp=n_dev)
+    B, H, D = 1, 2, 64
+    N = 2 * 128 * n_dev                   # 2 chunks of 128 per device
+    q = jnp.asarray(rng.normal(0, 0.02, (B, H, N, D)), jnp.float32)
+    k = jnp.asarray(rng.normal(0, 0.02, (B, H, N, D)), jnp.float32)
+    v = jnp.asarray(rng.normal(0, 0.02, (B, H, N, D)), jnp.float32)
+    perm = zigzag_order(N, n_dev)
+    inv = zigzag_inverse(N, n_dev)
+
+    ring = make_ring_attention(mesh, causal=True, layout="zigzag",
+                               block_sizes=BLOCKS)
+    out = ring(q[:, :, perm], k[:, :, perm], v[:, :, perm])[:, :, inv]
+    ref = attention_reference(q, k, v, causal=True)
+    assert verify(out, ref).passed
+
+
+@pytest.mark.parametrize("causal,layout", [
+    (False, "contiguous"),
+    (True, "contiguous"),
+    (True, "zigzag"),
+])
+def test_ring_attention_gradients_match_reference(rng, causal, layout):
+    """Ring custom-VJP (rotating dK/dV accumulators) vs autodiff through
+    the exact reference."""
+    n_dev = len(jax.devices())
+    mesh = make_mesh(sp=n_dev)
+    B, H, D = 1, 2, 64
+    N = (2 if layout == "zigzag" else 1) * 128 * n_dev
+    q = jnp.asarray(rng.normal(0, 0.02, (B, H, N, D)), jnp.float32)
+    k = jnp.asarray(rng.normal(0, 0.02, (B, H, N, D)), jnp.float32)
+    v = jnp.asarray(rng.normal(0, 0.02, (B, H, N, D)), jnp.float32)
+    if layout == "zigzag":
+        perm = zigzag_order(N, n_dev)
+        inv = zigzag_inverse(N, n_dev)
+    else:
+        perm = inv = np.arange(N)
+
+    ring = make_ring_attention(mesh, causal=causal, layout=layout,
+                               block_sizes=BLOCKS)
+
+    def ring_loss(q, k, v):
+        out = ring(q[:, :, perm], k[:, :, perm], v[:, :, perm])[:, :, inv]
+        return jnp.sum(out.astype(jnp.float32) ** 2)
+
+    def ref_loss(q, k, v):
+        out = attention_reference(q, k, v, causal=causal)
+        return jnp.sum(out.astype(jnp.float32) ** 2)
+
+    grads = jax.grad(ring_loss, (0, 1, 2))(q, k, v)
+    refs = jax.grad(ref_loss, (0, 1, 2))(q, k, v)
+    for g, r, name in zip(grads, refs, "qkv"):
+        rep = verify(g, r)
+        assert rep.passed, f"d{name}: {rep}"
 
 
 def test_ring_attention_jit_compiles_with_sharding(rng):
