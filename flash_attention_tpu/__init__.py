@@ -21,7 +21,8 @@ Layering (bottom-up):
 """
 
 from flash_attention_tpu.ops.reference import attention_reference, attention_baseline
-from flash_attention_tpu.ops.flash import flash_attention
+from flash_attention_tpu.ops.flash import flash_attention, flash_attention_quantized
+from flash_attention_tpu.ops.quant import QuantizedTensor, dequantize_kv, quantize_kv
 from flash_attention_tpu.config import BlockSizes, select_block_sizes
 
 __version__ = "0.1.0"
@@ -30,6 +31,10 @@ __all__ = [
     "attention_reference",
     "attention_baseline",
     "flash_attention",
+    "flash_attention_quantized",
+    "QuantizedTensor",
+    "quantize_kv",
+    "dequantize_kv",
     "BlockSizes",
     "select_block_sizes",
     "__version__",

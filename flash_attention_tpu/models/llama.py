@@ -57,6 +57,15 @@ class LlamaConfig:
         )
 
     @staticmethod
+    def llama3_1b(**kw) -> "LlamaConfig":
+        """Llama-3.2-1B shape — fits a single v5e chip in bf16 with room
+        for a large KV pool; the serving-bench workhorse."""
+        return LlamaConfig(
+            vocab_size=128256, dim=2048, n_layers=16, n_heads=32,
+            n_kv_heads=8, ffn_dim=8192, **kw,
+        )
+
+    @staticmethod
     def llama3_8b(**kw) -> "LlamaConfig":
         return LlamaConfig(
             vocab_size=128256, dim=4096, n_layers=32, n_heads=32,

@@ -1,0 +1,118 @@
+"""Training loop with checkpoint/resume over the sharded train step.
+
+The harness layer the reference never built (its training-relevant code
+stops at the autograd binding, FA2-triton.py:173-244): a synchronous
+data-parallel/fsdp/tp loop that jits `make_train_step`, checkpoints
+(params, opt_state, step) via utils/checkpoint.py, and resumes from the
+latest step after interruption — the failure-recovery story for long
+runs (SURVEY.md §5 "failure detection / elastic recovery: none").
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any, Callable, Iterator
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from flash_attention_tpu.models.llama import (
+    LlamaConfig,
+    init_params,
+    make_train_step,
+    param_shardings,
+)
+from flash_attention_tpu.utils.checkpoint import (
+    latest_step,
+    restore_checkpoint,
+    save_checkpoint,
+)
+
+
+@dataclasses.dataclass
+class TrainerConfig:
+    ckpt_dir: str | None = None
+    ckpt_every: int = 100
+    max_to_keep: int = 3
+    remat: bool = False
+    log_every: int = 10
+
+
+class Trainer:
+    """Owns (params, opt_state, step); runs the jitted train step and
+    checkpoints/resumes. `mesh`/`tp_size` enable sharded training."""
+
+    def __init__(self, cfg: LlamaConfig, optimizer, *,
+                 trainer_cfg: TrainerConfig | None = None, mesh=None,
+                 tp_size: int | None = None, seed: int = 0):
+        self.cfg = cfg
+        self.optimizer = optimizer
+        self.tc = trainer_cfg or TrainerConfig()
+        self.mesh = mesh
+        self.step_num = 0
+
+        params = init_params(cfg, jax.random.PRNGKey(seed))
+        if mesh is not None:
+            specs = param_shardings(cfg, tp_size=tp_size)
+            shardings = jax.tree.map(
+                lambda s: NamedSharding(mesh, s), specs,
+                is_leaf=lambda x: isinstance(x, P))
+            params = jax.tree.map(jax.device_put, params, shardings)
+        self.params = params
+        self.opt_state = optimizer.init(params)
+        self._step_fn = jax.jit(
+            make_train_step(cfg, optimizer, remat=self.tc.remat))
+
+        if self.tc.ckpt_dir is not None:
+            last = latest_step(self.tc.ckpt_dir)
+            if last is not None:
+                self.restore(last)
+
+    # --- checkpointing --------------------------------------------------
+
+    def _state(self):
+        return {"params": self.params, "opt_state": self.opt_state}
+
+    def save(self) -> None:
+        if self.tc.ckpt_dir is None:
+            return
+        save_checkpoint(self.tc.ckpt_dir, self.step_num, self._state(),
+                        max_to_keep=self.tc.max_to_keep)
+
+    def restore(self, step: int | None = None) -> int:
+        step, state = restore_checkpoint(
+            self.tc.ckpt_dir, step=step, template=self._state())
+        self.params = state["params"]
+        self.opt_state = state["opt_state"]
+        self.step_num = step
+        return step
+
+    # --- loop -------------------------------------------------------------
+
+    def train_step(self, tokens) -> float:
+        self.params, self.opt_state, loss = self._step_fn(
+            self.params, self.opt_state, tokens)
+        self.step_num += 1
+        if (self.tc.ckpt_dir is not None
+                and self.step_num % self.tc.ckpt_every == 0):
+            self.save()
+        return loss
+
+    def fit(self, batches: Iterator, *, steps: int,
+            log: Callable[[str], None] = print) -> list[float]:
+        """Run `steps` steps from `batches`; returns the loss history."""
+        losses = []
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            tokens = next(batches)
+            loss = self.train_step(tokens)
+            losses.append(loss)
+            if self.step_num % self.tc.log_every == 0:
+                loss_f = float(loss)  # sync point, only when logging
+                dt = time.perf_counter() - t0
+                log(f"step {self.step_num}: loss={loss_f:.4f} "
+                    f"({dt / max(len(losses), 1):.3f} s/step)")
+        return [float(x) for x in losses]

@@ -106,9 +106,25 @@ def _mask_block(s, i, j, *, block_q, block_kv, causal, offset,
 # ---------------------------------------------------------------------------
 
 
-def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr,
-                *, scale, causal, offset, block_q, block_kv, num_kv_blocks,
-                q_len, kv_len, q_padded, kv_padded, precision):
+def _dequant_tile(val_ref, scale_ref, out_dtype):
+    """[bk, D] int8/fp8 tile + [bk/QUANT_BLOCK, D] scale rows -> [bk, D]
+    in out_dtype: one VPU multiply feeding the MXU (ops/quant.py layout).
+    """
+    tile = val_ref[0, 0].astype(jnp.float32)
+    scales = scale_ref[0, 0]
+    bk, d = tile.shape
+    nb = scales.shape[0]
+    out = tile.reshape(nb, bk // nb, d) * scales[:, None, :]
+    return out.reshape(bk, d).astype(out_dtype)
+
+
+def _fwd_kernel(q_ref, k_ref, v_ref, *rest, scale, causal, offset, block_q,
+                block_kv, num_kv_blocks, q_len, kv_len, q_padded, kv_padded,
+                precision, quantized=False, compute_dtype=None):
+    if quantized:
+        kscale_ref, vscale_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr = rest
+    else:
+        o_ref, lse_ref, m_scr, l_scr, acc_scr = rest
     i, j = pl.program_id(2), pl.program_id(3)
 
     @pl.when(j == 0)
@@ -124,8 +140,12 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr,
     @pl.when(should_run)
     def _compute():
         q = q_ref[0, 0]
-        k = k_ref[0, 0]
-        v = v_ref[0, 0]
+        if quantized:
+            k = _dequant_tile(k_ref, kscale_ref, compute_dtype)
+            v = _dequant_tile(v_ref, vscale_ref, compute_dtype)
+        else:
+            k = k_ref[0, 0]
+            v = v_ref[0, 0]
         s = lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
             precision=precision,
@@ -190,7 +210,20 @@ def flash_attention_fwd(
     layout for the recompute backward; slice [..., 0] for a plain vector).
 
     q: [B, Hq, Nq, D] — k, v: [B, Hkv, Nk, D] with Hkv | Hq (GQA/MQA).
+    k and v may be `QuantizedTensor`s (int8/fp8 values + block-channel
+    scales, ops/quant.py): dequantization fuses into the kernel's inner
+    loop — KV reads HBM at quantized width (the north-star long-context
+    prefill path; forward-only).
     """
+    from flash_attention_tpu.ops.quant import QuantizedTensor
+
+    quantized = isinstance(k, QuantizedTensor)
+    if quantized != isinstance(v, QuantizedTensor):
+        raise ValueError("k and v must both be quantized or both dense")
+    k_scales = v_scales = None
+    if quantized:
+        k, k_scales = k.values, k.scales
+        v, v_scales = v.values, v.scales
     batch, hq, nq, d = q.shape
     _, hkv, nk, _ = k.shape
     if hq % hkv:
@@ -219,6 +252,13 @@ def flash_attention_fwd(
     if kv_padded:
         k = jnp.pad(k, ((0, 0), (0, 0), (0, nk_pad - nk), (0, 0)))
         v = jnp.pad(v, ((0, 0), (0, 0), (0, nk_pad - nk), (0, 0)))
+        if quantized:
+            from flash_attention_tpu.ops.quant import QUANT_BLOCK
+            pad_rows = (nk_pad - nk) // QUANT_BLOCK
+            k_scales = jnp.pad(
+                k_scales, ((0, 0), (0, 0), (0, pad_rows), (0, 0)))
+            v_scales = jnp.pad(
+                v_scales, ((0, 0), (0, 0), (0, pad_rows), (0, 0)))
 
     num_q_blocks = nq_pad // block_q
     num_kv_blocks = nk_pad // block_kv
@@ -242,7 +282,23 @@ def flash_attention_fwd(
         block_q=block_q, block_kv=block_kv, num_kv_blocks=num_kv_blocks,
         q_len=nq, kv_len=nk, q_padded=q_padded, kv_padded=kv_padded,
         precision=_mxu_precision(q.dtype),
+        quantized=quantized, compute_dtype=q.dtype,
     )
+
+    in_specs = [
+        pl.BlockSpec((1, 1, block_q, d), q_index),
+        pl.BlockSpec((1, 1, block_kv, d), kv_index),
+        pl.BlockSpec((1, 1, block_kv, d), kv_index),
+    ]
+    inputs = [q, k, v]
+    if quantized:
+        from flash_attention_tpu.ops.quant import QUANT_BLOCK
+        sb = block_kv // QUANT_BLOCK        # scale rows per kv block
+        in_specs += [
+            pl.BlockSpec((1, 1, sb, d), kv_index),
+            pl.BlockSpec((1, 1, sb, d), kv_index),
+        ]
+        inputs += [k_scales, v_scales]
 
     out_shape = [jax.ShapeDtypeStruct((batch, hq, nq_pad, d), q.dtype)]
     out_specs = [pl.BlockSpec((1, 1, block_q, d), q_index)]
@@ -254,6 +310,11 @@ def flash_attention_fwd(
         )
         out_specs.append(pl.BlockSpec((1, 1, block_q, LANES), q_index))
         wrapped = kernel
+    elif quantized:
+        def wrapped(q_ref, k_ref, v_ref, ks_ref, vs_ref, o_ref,
+                    m_scr, l_scr, acc_scr):
+            kernel(q_ref, k_ref, v_ref, ks_ref, vs_ref, o_ref, None,
+                   m_scr, l_scr, acc_scr)
     else:
         def wrapped(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr):
             kernel(q_ref, k_ref, v_ref, o_ref, None, m_scr, l_scr, acc_scr)
@@ -261,11 +322,7 @@ def flash_attention_fwd(
     outs = pl.pallas_call(
         wrapped,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, 1, block_q, d), q_index),
-            pl.BlockSpec((1, 1, block_kv, d), kv_index),
-            pl.BlockSpec((1, 1, block_kv, d), kv_index),
-        ],
+        in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=[
@@ -281,7 +338,7 @@ def flash_attention_fwd(
         ),
         interpret=interpret,
         debug=debug,
-    )(q, k, v)
+    )(*inputs)
     o, lse = (outs[0], outs[1]) if save_residuals else (outs[0], None)
     if q_padded:
         o = o[:, :, :nq]
@@ -619,3 +676,20 @@ def flash_attention(
     return _flash_attention(
         q, k, v, causal, scale, block_sizes, offset, interpret
     )
+
+
+def flash_attention_quantized(
+    q, k, v, *, causal: bool = False, scale: float | None = None,
+    block_sizes: BlockSizes | None = None, offset: int | None = None,
+    interpret: bool | None = None,
+):
+    """Forward-only flash attention over an INT8/FP8-quantized KV cache
+    (`QuantizedTensor` k/v): dequant fused into the QK^T/PV inner loops,
+    KV HBM traffic at quantized width — the long-context prefill path of
+    the north star (no reference counterpart). Inference-only: gradients
+    through a quantized cache are not defined."""
+    o, _ = flash_attention_fwd(
+        q, k, v, causal=causal, scale=scale, block_sizes=block_sizes,
+        offset=offset, interpret=interpret, save_residuals=False,
+    )
+    return o

@@ -103,3 +103,52 @@ def test_fwd_scale_override(qkv_factory):
     ref = attention_reference(q, k, v, scale=0.5)
     report = verify(out, ref)
     assert report.passed, str(report)
+
+
+# --- quantized-KV prefill (fused dequant in QK^T/PV) -----------------------
+
+
+@pytest.mark.parametrize("qdtype", [jnp.int8, jnp.float8_e4m3fn])
+@pytest.mark.parametrize("causal", [False, True])
+def test_fwd_quantized_kv_matches_dequantized(qkv_factory, qdtype, causal):
+    """The fused-dequant kernel must match the dense kernel run on the
+    explicitly dequantized cache — isolating kernel error from
+    quantization error."""
+    from flash_attention_tpu.ops.flash import flash_attention_quantized
+    from flash_attention_tpu.ops.quant import dequantize_kv, quantize_kv
+
+    q, k, v = qkv_factory(1, 4, 2, 256, 256, 64, jnp.bfloat16)
+    kq, vq = quantize_kv(k, dtype=qdtype), quantize_kv(v, dtype=qdtype)
+    out = flash_attention_quantized(q, kq, vq, causal=causal,
+                                    block_sizes=SMALL_BLOCKS)
+    dense = flash_attention(q, dequantize_kv(kq), dequantize_kv(vq),
+                            causal=causal, block_sizes=SMALL_BLOCKS)
+    err = float(jnp.max(jnp.abs(out.astype(jnp.float32)
+                                - dense.astype(jnp.float32))))
+    # Same math up to dequant rounding into bf16 tiles.
+    assert err <= 3e-2, err
+
+
+def test_fwd_quantized_kv_accuracy_vs_fp32(qkv_factory):
+    """End-to-end: int8-KV attention vs the fp32 exact reference on the
+    ORIGINAL kv — quantization noise included — must stay within the
+    north-star-style tolerance for N(0, 0.02^2) inputs."""
+    from flash_attention_tpu.ops.flash import flash_attention_quantized
+    from flash_attention_tpu.ops.quant import quantize_kv
+
+    q, k, v = qkv_factory(1, 4, 2, 384, 384, 64, jnp.bfloat16)
+    out = flash_attention_quantized(
+        q, quantize_kv(k), quantize_kv(v), block_sizes=SMALL_BLOCKS)
+    ref = attention_reference(q, k, v)
+    err = float(jnp.max(jnp.abs(out.astype(jnp.float32)
+                                - ref.astype(jnp.float32))))
+    assert err <= 5e-3, err
+
+
+def test_fwd_quantized_rejects_mixed(qkv_factory):
+    from flash_attention_tpu.ops.flash import flash_attention_fwd
+    from flash_attention_tpu.ops.quant import quantize_kv
+
+    q, k, v = qkv_factory(1, 2, 2, 256, 256, 64, jnp.bfloat16)
+    with pytest.raises(ValueError, match="both"):
+        flash_attention_fwd(q, quantize_kv(k), v)
