@@ -37,7 +37,7 @@ from flash_attention_tpu.config import (
     interpret_default,
     round_up,
 )
-from flash_attention_tpu.ops.flash import MASK_VALUE
+from flash_attention_tpu.ops.flash import LOG2E, MASK_VALUE
 from flash_attention_tpu.ops.quant import QUANT_BLOCK, QuantizedTensor
 
 # Measured on v5e (B=64, Hkv=8, S=4096, D=128, ragged lengths):
@@ -87,21 +87,23 @@ def _decode_kernel(lengths_ref, q_ref, *rest, scale, block_kv,
         else:
             k = k_ref[0, 0]
             v = v_ref[0, 0]
+        # Unscaled scores; scale folded into exp2 (flash.py LOG2E note).
         s = lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ) * scale                                   # [G, bk]
+        )                                           # [G, bk]
         col = lax.broadcasted_iota(jnp.int32, s.shape, 1) + jk * block_kv
         s = jnp.where(col >= length, MASK_VALUE, s)
 
+        c = scale * LOG2E
         m_prev = m_scr[...]
         l_prev = l_scr[...]
         m_new = jnp.maximum(
             m_prev,
             jnp.broadcast_to(jnp.max(s, axis=1, keepdims=True), m_prev.shape),
         )
-        alpha = jnp.exp(m_prev - m_new)
-        p = jnp.exp(s - m_new[:, :1])
+        alpha = jnp.exp2((m_prev - m_new) * c)
+        p = jnp.exp2((s - m_new[:, :1]) * c)
         l_scr[...] = alpha * l_prev + jnp.broadcast_to(
             jnp.sum(p, axis=1, keepdims=True), l_prev.shape
         )

@@ -28,7 +28,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from flash_attention_tpu.config import LANES, interpret_default
-from flash_attention_tpu.ops.flash import MASK_VALUE
+from flash_attention_tpu.ops.flash import LOG2E, MASK_VALUE
 from flash_attention_tpu.ops.quant import QUANT_BLOCK
 
 DEFAULT_PAGE_SIZE = 256
@@ -67,21 +67,23 @@ def _paged_kernel(lengths_ref, pt_ref, q_ref, *rest, scale, page_size,
         else:
             k = k_ref[0, 0]
             v = v_ref[0, 0]
+        # Unscaled scores; scale folded into exp2 (flash.py LOG2E note).
         s = lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ) * scale                                     # [G, page_size]
+        )                                             # [G, page_size]
         col = lax.broadcasted_iota(jnp.int32, s.shape, 1) + p * page_size
         s = jnp.where(col >= length, MASK_VALUE, s)
 
+        c = scale * LOG2E
         m_prev = m_scr[...]
         l_prev = l_scr[...]
         m_new = jnp.maximum(
             m_prev,
             jnp.broadcast_to(jnp.max(s, axis=1, keepdims=True), m_prev.shape),
         )
-        alpha = jnp.exp(m_prev - m_new)
-        pr = jnp.exp(s - m_new[:, :1])
+        alpha = jnp.exp2((m_prev - m_new) * c)
+        pr = jnp.exp2((s - m_new[:, :1]) * c)
         l_scr[...] = alpha * l_prev + jnp.broadcast_to(
             jnp.sum(pr, axis=1, keepdims=True), l_prev.shape
         )
