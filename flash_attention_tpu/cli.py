@@ -283,6 +283,55 @@ def cmd_decode_bench(args):
     return 0
 
 
+def cmd_profile(args):
+    """Compiler-level profile of the flagship kernel (role of the NCU
+    artifact, cuda_fa1/profile_ncu / SURVEY.md C27): XLA cost analysis,
+    memory analysis, achieved-vs-peak utilization, plus an optional
+    XProf trace directory for xprof/tensorboard."""
+    import jax
+    from flash_attention_tpu.ops.flash import flash_attention
+    from flash_attention_tpu.utils.bench import (
+        attention_flops, bench_attention,
+    )
+
+    b, h, n, d = args.config
+    q, k, v = _make_inputs(b, h, n, d, args.dtype)
+    dev = jax.devices()[0]
+    print(f"Device: {dev.device_kind} ({dev.platform})")
+    print(f"profile: config B={b} H={h} N={n} D={d} dtype={args.dtype} "
+          f"causal={args.causal}")
+
+    fn = jax.jit(lambda q, k, v: flash_attention(q, k, v,
+                                                 causal=args.causal))
+    compiled = fn.lower(q, k, v).compile()
+    cost = compiled.cost_analysis() or {}
+    mem = compiled.memory_analysis()
+    print("\n== XLA cost analysis ==")
+    for key in sorted(cost):
+        val = cost[key]
+        if isinstance(val, (int, float)) and val:
+            print(f"  {key:28s} {val:,.0f}")
+    if mem is not None:
+        print("== memory analysis ==")
+        for attr in ("temp_size_in_bytes", "argument_size_in_bytes",
+                     "output_size_in_bytes", "generated_code_size_in_bytes"):
+            print(f"  {attr:28s} {getattr(mem, attr, 0):,}")
+
+    with _maybe_profile(args.profile):
+        rep = bench_attention("flash", fn, q, k, v, causal=args.causal,
+                              warmup=args.warmup, iters=args.iters)
+    print("\n== measured ==")
+    print(rep.line())
+    flops = attention_flops(b, h, n, n, d, args.causal)
+    print(f"  analytic FLOPs {flops:,}")
+    if args.peak_tflops:
+        print(f"  utilization vs peak ({args.peak_tflops} TFLOP/s): "
+              f"{100 * rep.tflops_per_s / args.peak_tflops:.1f}%")
+    if args.profile:
+        print(f"  XProf trace written under {args.profile}")
+    return 0
+
+
 def cmd_serve_bench(args):
     """Engine end-to-end: continuous batching over real requests."""
     import jax
@@ -388,9 +437,24 @@ def main(argv=None):
     ps_.add_argument("--page-size", type=int, default=256)
     ps_.set_defaults(fn=cmd_serve_bench)
 
+    pf = sub.add_parser("profile",
+                        help="XLA cost/memory analysis + XProf trace")
+    pf.add_argument("--config", default="1,32,8192,128")
+    pf.add_argument("--dtype", default="bfloat16")
+    pf.add_argument("--causal", action="store_true")
+    pf.add_argument("--peak-tflops", type=float, default=197.0,
+                    help="chip peak for utilization (v5e bf16 ~197)")
+    pf.add_argument("--warmup", type=int, default=3)
+    pf.add_argument("--iters", type=int, default=5)
+    pf.add_argument("--profile", default=None,
+                    help="directory for an XProf trace capture")
+    pf.set_defaults(fn=cmd_profile)
+
     args = p.parse_args(argv)
     if hasattr(args, "configs"):
         args.configs = _parse_configs(args.configs)
+    if hasattr(args, "config"):
+        args.config = _parse_configs([args.config])[0]
     return args.fn(args)
 
 

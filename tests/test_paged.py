@@ -149,3 +149,38 @@ def test_paged_cache_oom(rng):
     cache.add_sequence(k, k)
     with pytest.raises(MemoryError):
         cache.add_sequence(k[:, :1], k[:, :1])
+
+
+def test_paged_decode_tp_sharded_heads(rng):
+    """Tensor-parallel serving: KV pools and query heads sharded over a
+    tp mesh axis via shard_map, page tables/lengths replicated — each
+    shard decodes its local head group independently (the multi-host
+    decode layout of BASELINE.json config 5; the wo-projection psum
+    happens at the model layer)."""
+    import functools
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from flash_attention_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(dp=-1, tp=4)
+    B, HQ, HKV, D, PS = 2, 8, 4, 64, 128
+    q, k_pool, v_pool, tables, lengths = _random_paged_setup(
+        rng, B, HQ, HKV, D, PS, [300, 129], num_pages=16)
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(None, "tp", None), P("tp", None, None, None),
+                  P("tp", None, None, None), P(None, None), P(None)),
+        out_specs=P(None, "tp", None), check_vma=False)
+    def sharded_decode(q, kp, vp, t, l):
+        return paged_flash_decode(q, kp, vp, t, l)
+
+    q_sh = jax.device_put(q, NamedSharding(mesh, P(None, "tp", None)))
+    kp_sh = jax.device_put(
+        k_pool, NamedSharding(mesh, P("tp", None, None, None)))
+    vp_sh = jax.device_put(
+        v_pool, NamedSharding(mesh, P("tp", None, None, None)))
+    out = sharded_decode(q_sh, kp_sh, vp_sh, tables, lengths)
+    ref = paged_decode_reference(q, k_pool, v_pool, tables, lengths)
+    assert verify(out, ref).passed
+    assert out.sharding.spec[1] == "tp"
