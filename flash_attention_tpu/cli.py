@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import argparse
 import contextlib
+import functools
 import sys
 import time
 
@@ -264,22 +265,64 @@ def cmd_decode_bench(args):
         )
         cfg = getattr(LlamaConfig, _PRESETS[args.model])(dtype=jnp.bfloat16)
         params = init_params(cfg, jax.random.PRNGKey(0))
-        mp = -(-ctx // ps)
-        npg = max(b * mp, 1) + 1
-        pools = jnp.zeros(
-            (cfg.n_layers, cfg.n_kv_heads, npg, ps, cfg.head_dim),
-            jnp.bfloat16)
-        tbl = jnp.asarray(
-            1 + np.arange(b * mp).reshape(b, mp), jnp.int32)
-        lens = jnp.full((b,), ctx - 1, jnp.int32)
-        tok = jnp.zeros((b,), jnp.int32)
-        step = jax.jit(lambda p, t_, kp, vp, tb, l: decode_step_paged(
-            p, t_, cfg, kp, vp, tb, l))
-        tm = measure(step, params, tok, pools, pools, tbl, lens,
-                     warmup=args.warmup, iters=args.iters)
+        bm, ctxm = args.model_batch, args.model_context
+        mp = -(-ctxm // ps)
+        npg = max(bm * mp, 1) + 1
+        pool_shape = (cfg.n_kv_heads, npg, ps, cfg.head_dim)
+        tail = max(args.model_steps + 1, 128)
+        tail_shape = (bm, cfg.n_kv_heads, tail, cfg.head_dim)
+        tbl = jnp.asarray(1 + np.arange(bm * mp).reshape(bm, mp), jnp.int32)
+        steps = args.model_steps
+        # The engine's greedy serving loop fused into one program: scan
+        # `steps` decode steps feeding argmax tokens back. Pages are
+        # READ-ONLY; per-token KV lands in donated hot-tail buffers
+        # (models/llama.py decode_step_paged design note).
+        paged_lens = jnp.full((bm,), ctxm - steps - 1, jnp.int32)
+
+        @functools.partial(jax.jit, donate_argnums=(3, 4))
+        def run(params, kp, vp, kt, vt, tok0):
+            def body(carry, tpos):
+                tok, kt, vt = carry
+                logits, kt, vt = decode_step_paged(
+                    params, tok, cfg, kp, vp, kt, vt, tbl, paged_lens,
+                    jnp.full((bm,), tpos, jnp.int32))
+                nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                return (nxt, kt, vt), nxt
+            (tok, kt, vt), toks = jax.lax.scan(
+                body, (tok0, kt, vt), jnp.arange(steps))
+            return toks, kt, vt
+
+        def fresh_tails():
+            return ([jnp.zeros(tail_shape, jnp.bfloat16)
+                     for _ in range(cfg.n_layers)],
+                    [jnp.zeros(tail_shape, jnp.bfloat16)
+                     for _ in range(cfg.n_layers)])
+
+        tok0 = jnp.zeros((bm,), jnp.int32)
+        kp = [jnp.zeros(pool_shape, jnp.bfloat16)
+              for _ in range(cfg.n_layers)]
+        vp = [jnp.zeros(pool_shape, jnp.bfloat16)
+              for _ in range(cfg.n_layers)]
+        kt, vt = fresh_tails()
+        toks, kt2, vt2 = run(params, kp, vp, kt, vt, tok0)  # compile+warm
+        jax.block_until_ready(toks)
+        del kt2, vt2
+        times = []
+        for _ in range(max(args.iters // 3, 2)):
+            kt, vt = fresh_tails()
+            jax.block_until_ready((kt, vt))
+            t0 = time.perf_counter()
+            toks, kt, vt = run(params, kp, vp, kt, vt, tok0)
+            jax.block_until_ready(toks)
+            times.append(time.perf_counter() - t0)
+        best = min(times)
         n_params = sum(x.size for x in jax.tree.leaves(params))
-        print(f"model decode ({args.model}, {n_params / 1e9:.2f}B): "
-              f"{tm.mean_ms:8.3f} ms/step  {b / tm.mean_s:8.0f} tok/s/chip")
+        kv_gb = 2 * cfg.n_layers * np.prod(pool_shape) * 2 / 1e9
+        print(f"model decode ({args.model}, {n_params / 1e9:.2f}B params, "
+              f"{kv_gb:.1f} GB KV pools): batch={bm} context~{ctxm} "
+              f"steps={steps}")
+        print(f"  {best / steps * 1e3:8.3f} ms/step  "
+              f"{bm * steps / best:8.0f} tok/s/chip")
     return 0
 
 
@@ -422,6 +465,9 @@ def main(argv=None):
                     choices=["bfloat16", "int8", "fp8"])
     pd.add_argument("--model", default=None,
                     choices=[None, "tiny", "1b", "8b"])
+    pd.add_argument("--model-batch", type=int, default=32)
+    pd.add_argument("--model-context", type=int, default=2048)
+    pd.add_argument("--model-steps", type=int, default=32)
     pd.add_argument("--warmup", type=int, default=3)
     pd.add_argument("--iters", type=int, default=10)
     pd.set_defaults(fn=cmd_decode_bench)

@@ -58,10 +58,13 @@ class LlamaConfig:
 
     @staticmethod
     def llama3_1b(**kw) -> "LlamaConfig":
-        """Llama-3.2-1B shape — fits a single v5e chip in bf16 with room
-        for a large KV pool; the serving-bench workhorse."""
+        """1B-class serving workhorse. Diverges from Llama-3.2-1B in one
+        deliberate way: 16 heads of dim 128 instead of 32 of dim 64 —
+        a 64-wide head pads every (8,128) HBM tile of the KV pools to
+        half occupancy on TPU (2x cache memory and bandwidth); 128 is
+        the native lane width. Same param count and kv-head count."""
         return LlamaConfig(
-            vocab_size=128256, dim=2048, n_layers=16, n_heads=32,
+            vocab_size=128256, dim=2048, n_layers=16, n_heads=16,
             n_kv_heads=8, ffn_dim=8192, **kw,
         )
 
@@ -279,51 +282,89 @@ def prefill_kv(params, tokens, cfg: LlamaConfig, *, true_len=None):
     return logits, jnp.stack(ks), jnp.stack(vs)
 
 
-def decode_step_paged(params, token, cfg: LlamaConfig, k_pools, v_pools,
-                      page_tables, lengths):
-    """One decode step against layered paged KV pools.
+def _tail_attention(q, kt, vt, tail_pos, scale):
+    """Exact attention of q [B, Hkv, G, D] over the dense tail buffer
+    kt/vt [B, Hkv, T, D] with per-sequence valid count tail_pos+1.
+    Plain jnp (XLA-fused): the tail is the MUTATED segment of the cache,
+    and keeping its consumer out of a Pallas custom call is what lets
+    the per-token scatter stay in place (custom-call operands cannot
+    alias in-program scatter results; XLA inserts full-buffer copies —
+    measured 13 ms/step of copies at 1B scale).
 
-    token: [B] ids; k_pools/v_pools: [L, Hkv, P, page_size, D];
-    page_tables: [B, max_pages] int32; lengths: [B] int32 — live prefix
-    length BEFORE this token (the new token is written at position
-    lengths[b], whose page must already be allocated; dead slots should
-    map every table entry to a scratch page and carry length 0).
+    Returns (o [B, Hkv, G, D] f32, lse [B, Hkv, G] f32).
+    """
+    s = jnp.einsum(
+        "bhgd,bhtd->bhgt", q.astype(jnp.float32), kt.astype(jnp.float32),
+    ) * scale
+    t = s.shape[-1]
+    col = jnp.arange(t)[None, None, None, :]
+    s = jnp.where(col > tail_pos[:, None, None, None], -jnp.inf, s)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    o = jnp.einsum("bhgt,bhtd->bhgd", p / l, vt.astype(jnp.float32))
+    lse = (m + jnp.log(l))[..., 0]
+    return o, lse
 
-    Returns (logits [B, vocab], k_pools, v_pools) — donate the pools in
-    the enclosing jit for in-place HBM updates.
+
+def decode_step_paged(params, token, cfg: LlamaConfig, k_pages, v_pages,
+                      k_tails, v_tails, page_tables, paged_lens, tail_pos):
+    """One decode step: paged prefix (READ-ONLY Pallas kernel) + dense
+    hot-tail buffer (jnp attention, scattered in place).
+
+    Cache layout per layer: tokens [0, paged_lens[b]) live in pages
+    (k_pages/v_pages, lists of [Hkv, P, page_size, D]); recent tokens
+    [paged_lens[b], paged_lens[b] + tail_pos[b] + 1) live in the tail
+    (k_tails/v_tails, lists of [B, Hkv, TAIL, D]). The new token is
+    written at tail slot tail_pos[b]; the runtime flushes tails into
+    pages in a separate dispatch (kv_cache.flush_tails) when full.
+
+    Pages are never written here, so XLA never copies them; the two
+    attention partials merge with the LSE recurrence. Dead slots carry
+    paged_lens 0 and tail_pos 0 (their tail write is garbage-in,
+    output-unused).
+
+    Returns (logits [B, vocab], k_tails, v_tails).
     """
     from flash_attention_tpu.ops.paged import paged_flash_decode
 
     b = token.shape[0]
-    page_size = k_pools.shape[3]
-    positions = lengths[:, None]                      # [B, 1]
-    pids = jnp.take_along_axis(
-        page_tables, (lengths // page_size)[:, None], axis=1
-    )[:, 0]                                           # [B]
-    offs = lengths % page_size                        # [B]
+    hkv = cfg.n_kv_heads
+    group = cfg.n_heads // hkv
+    scale = 1.0 / float(np.sqrt(cfg.head_dim))
+    positions = (paged_lens + tail_pos)[:, None]      # [B, 1]
+    bidx = jnp.arange(b)
     x = params["embed"][token][:, None]               # [B, 1, D]
-    for li, layer in enumerate(params["layers"]):
+    new_k_tails, new_v_tails = [], []
+    for layer, kp, vp, kt, vt in zip(
+            params["layers"], k_pages, v_pages, k_tails, v_tails):
         h = rmsnorm(x, layer["attn_norm"], cfg.norm_eps)
         q = jnp.einsum("btd,dhk->bhtk", h, layer["wq"])
         k = jnp.einsum("btd,dhk->bhtk", h, layer["wk"])
         v = jnp.einsum("btd,dhk->bhtk", h, layer["wv"])
         q = rope(q, positions, cfg.rope_theta)
         k = rope(k, positions, cfg.rope_theta)
-        # Scatter the new token into its page. The integer layer index
-        # plus [B]-shaped page/offset indices are non-adjacent advanced
-        # indices, so the batch dim lands in front: update is [B,Hkv,D].
-        k_pools = k_pools.at[li, :, pids, offs, :].set(
-            k[:, :, 0].astype(k_pools.dtype))
-        v_pools = v_pools.at[li, :, pids, offs, :].set(
-            v[:, :, 0].astype(v_pools.dtype))
-        o = paged_flash_decode(
-            q[:, :, 0], k_pools[li], v_pools[li], page_tables, lengths + 1,
-        )[:, :, None]
+        kt = kt.at[bidx, :, tail_pos, :].set(k[:, :, 0].astype(kt.dtype))
+        vt = vt.at[bidx, :, tail_pos, :].set(v[:, :, 0].astype(vt.dtype))
+        new_k_tails.append(kt)
+        new_v_tails.append(vt)
+
+        qg = q[:, :, 0].reshape(b, hkv, group, cfg.head_dim)
+        o_p, lse_p = paged_flash_decode(
+            q[:, :, 0], kp, vp, page_tables, paged_lens,
+            scale=scale, return_lse=True)
+        o_p = o_p.reshape(b, hkv, group, cfg.head_dim).astype(jnp.float32)
+        lse_p = lse_p.reshape(b, hkv, group)
+        o_t, lse_t = _tail_attention(qg, kt, vt, tail_pos, scale)
+        lse = jnp.logaddexp(lse_p, lse_t)
+        o = (o_p * jnp.exp(lse_p - lse)[..., None]
+             + o_t * jnp.exp(lse_t - lse)[..., None])
+        o = o.reshape(b, cfg.n_heads, cfg.head_dim).astype(x.dtype)[:, :, None]
         x = x + jnp.einsum("bhtk,hkd->btd", o, layer["wo"])
         x = x + _mlp_block(layer, x, cfg)
     x = rmsnorm(x, params["final_norm"], cfg.norm_eps)
     logits = jnp.einsum("bd,dv->bv", x[:, 0], params["lm_head"])
-    return logits, k_pools, v_pools
+    return logits, new_k_tails, new_v_tails
 
 
 def init_kv_cache(cfg: LlamaConfig, batch: int, max_len: int,

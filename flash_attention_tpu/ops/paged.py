@@ -35,13 +35,20 @@ DEFAULT_PAGE_SIZE = 256
 
 
 def _paged_kernel(lengths_ref, pt_ref, q_ref, *rest, scale, page_size,
-                  max_pages, quantized):
+                  max_pages, quantized, save_stats):
+    idx = 0
+    k_ref, v_ref = rest[0], rest[1]
+    idx = 2
     if quantized:
-        k_ref, v_ref, kscale_ref, vscale_ref, o_ref, m_scr, l_scr, acc_scr = rest
-    else:
-        k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr = rest
+        kscale_ref, vscale_ref = rest[idx], rest[idx + 1]
+        idx += 2
+    o_ref = rest[idx]
+    idx += 1
+    lse_ref = rest[idx] if save_stats else None
+    idx += 1 if save_stats else 0
+    m_scr, l_scr, acc_scr = rest[idx], rest[idx + 1], rest[idx + 2]
 
-    b, p = pl.program_id(0), pl.program_id(2)
+    b, p = pl.program_id(0), pl.program_id(1)
     length = lengths_ref[b]
 
     @pl.when(p == 0)
@@ -52,60 +59,68 @@ def _paged_kernel(lengths_ref, pt_ref, q_ref, *rest, scale, page_size,
 
     @pl.when(p * page_size < length)
     def _compute():
-        q = q_ref[0, 0]                              # [G, D]
+        q = q_ref[0]                                 # [Hkv, G, D]
         if quantized:
-            kt = k_ref[0, 0].astype(jnp.float32)
-            vt = v_ref[0, 0].astype(jnp.float32)
+            hkv, _, d = q.shape
             nb = page_size // QUANT_BLOCK
-            d = kt.shape[-1]
-            k = (kt.reshape(nb, QUANT_BLOCK, d) *
-                 kscale_ref[0, 0][:, None, :]).reshape(page_size, d)
-            v = (vt.reshape(nb, QUANT_BLOCK, d) *
-                 vscale_ref[0, 0][:, None, :]).reshape(page_size, d)
+            kt = k_ref[:, 0].astype(jnp.float32)     # [Hkv, ps, D]
+            vt = v_ref[:, 0].astype(jnp.float32)
+            k = (kt.reshape(hkv, nb, QUANT_BLOCK, d) *
+                 kscale_ref[:, 0][:, :, None, :]).reshape(hkv, page_size, d)
+            v = (vt.reshape(hkv, nb, QUANT_BLOCK, d) *
+                 vscale_ref[:, 0][:, :, None, :]).reshape(hkv, page_size, d)
             k = k.astype(q.dtype)
             v = v.astype(q.dtype)
         else:
-            k = k_ref[0, 0]
-            v = v_ref[0, 0]
+            k = k_ref[:, 0]                          # [Hkv, ps, D]
+            v = v_ref[:, 0]
+        # All KV heads of this (seq, page) in ONE grid step: a batched
+        # MXU matmul per page keeps blocks fat (8 heads x 1 MB of KV per
+        # DMA) — a per-(head, page) grid was dispatch-overhead-bound.
         # Unscaled scores; scale folded into exp2 (flash.py LOG2E note).
         s = lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
+            q, k, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-        )                                             # [G, page_size]
-        col = lax.broadcasted_iota(jnp.int32, s.shape, 1) + p * page_size
+        )                                            # [Hkv, G, ps]
+        col = lax.broadcasted_iota(jnp.int32, s.shape, 2) + p * page_size
         s = jnp.where(col >= length, MASK_VALUE, s)
 
         c = scale * LOG2E
-        m_prev = m_scr[...]
+        m_prev = m_scr[...]                          # [Hkv, G, LANES]
         l_prev = l_scr[...]
         m_new = jnp.maximum(
             m_prev,
-            jnp.broadcast_to(jnp.max(s, axis=1, keepdims=True), m_prev.shape),
+            jnp.broadcast_to(jnp.max(s, axis=2, keepdims=True),
+                             m_prev.shape),
         )
         alpha = jnp.exp2((m_prev - m_new) * c)
-        pr = jnp.exp2((s - m_new[:, :1]) * c)
+        pr = jnp.exp2((s - m_new[:, :, :1]) * c)
         l_scr[...] = alpha * l_prev + jnp.broadcast_to(
-            jnp.sum(pr, axis=1, keepdims=True), l_prev.shape
+            jnp.sum(pr, axis=2, keepdims=True), l_prev.shape
         )
         m_scr[...] = m_new
-        acc_scr[...] = acc_scr[...] * alpha[:, :1] + lax.dot_general(
-            pr.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        acc_scr[...] = acc_scr[...] * alpha[:, :, :1] + lax.dot_general(
+            pr.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-        )
+        )                                            # [Hkv, G, D]
 
     @pl.when(p == max_pages - 1)
     def _store():
         l = l_scr[...]
         l_safe = jnp.where(l == 0.0, 1.0, l)
-        o_ref[0, 0] = (acc_scr[...] / l_safe[:, :1]).astype(o_ref.dtype)
+        o_ref[0] = (acc_scr[...] / l_safe[:, :, :1]).astype(o_ref.dtype)
+        if lse_ref is not None:
+            # True (scaled) lse; fully-masked rows keep a huge negative
+            # m so their merge weight is exactly 0.
+            lse_ref[0] = m_scr[...] * scale + jnp.log(l_safe)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("scale", "interpret"),
+    jax.jit, static_argnames=("scale", "interpret", "return_lse"),
 )
 def paged_flash_decode(q, k_pool, v_pool, page_table, lengths, *,
                        k_scales=None, v_scales=None, scale=None,
-                       interpret=None):
+                       interpret=None, return_lse=False):
     """Decode attention over paged KV pools.
 
     Args:
@@ -117,8 +132,11 @@ def paged_flash_decode(q, k_pool, v_pool, page_table, lengths, *,
       lengths: [B] int32 — live token count per sequence.
       k_scales, v_scales: [Hkv, num_pages, page_size/QUANT_BLOCK, D] f32
         for quantized pools.
+      return_lse: also return the fp32 log-sum-exp [B, Hq] so callers
+        can LSE-merge this partial with attention over other segments
+        (the hot-tail decode path in models/llama.py).
 
-    Returns [B, Hq, D].
+    Returns [B, Hq, D], or (o, lse) with return_lse.
     """
     quantized = k_scales is not None
     if quantized != (v_scales is not None):
@@ -138,52 +156,63 @@ def paged_flash_decode(q, k_pool, v_pool, page_table, lengths, *,
     lengths = lengths.astype(jnp.int32)
     page_table = page_table.astype(jnp.int32)
 
-    grid = (batch, hkv, max_pages)
+    grid = (batch, max_pages)
 
-    def q_index(b, hk, p, lens, pt):
-        return (b, hk, 0, 0)
+    def q_index(b, p, lens, pt):
+        return (b, 0, 0, 0)
 
-    def pool_index(b, hk, p, lens, pt):
+    def pool_index(b, p, lens, pt):
         # Out-of-range steps re-DMA the first live page (cheap, masked).
         p_live = lax.select(p * page_size < lens[b], p, 0)
-        return (hk, pt[b, p_live], 0, 0)
+        return (0, pt[b, p_live], 0, 0)
 
     in_specs = [
-        pl.BlockSpec((1, 1, group, d), q_index),
-        pl.BlockSpec((1, 1, page_size, d), pool_index),
-        pl.BlockSpec((1, 1, page_size, d), pool_index),
+        pl.BlockSpec((1, hkv, group, d), q_index),
+        pl.BlockSpec((hkv, 1, page_size, d), pool_index),
+        pl.BlockSpec((hkv, 1, page_size, d), pool_index),
     ]
     inputs = [q.reshape(batch, hkv, group, d), k_pool, v_pool]
     if quantized:
         in_specs += [
-            pl.BlockSpec((1, 1, page_size // QUANT_BLOCK, d), pool_index),
-            pl.BlockSpec((1, 1, page_size // QUANT_BLOCK, d), pool_index),
+            pl.BlockSpec((hkv, 1, page_size // QUANT_BLOCK, d), pool_index),
+            pl.BlockSpec((hkv, 1, page_size // QUANT_BLOCK, d), pool_index),
         ]
         inputs += [k_scales, v_scales]
 
-    out = pl.pallas_call(
+    out_specs = [pl.BlockSpec((1, hkv, group, d), q_index)]
+    out_shape = [jax.ShapeDtypeStruct((batch, hkv, group, d), q.dtype)]
+    if return_lse:
+        out_specs.append(pl.BlockSpec((1, hkv, group, LANES), q_index))
+        out_shape.append(
+            jax.ShapeDtypeStruct((batch, hkv, group, LANES), jnp.float32))
+
+    outs = pl.pallas_call(
         functools.partial(
             _paged_kernel, scale=scale, page_size=page_size,
             max_pages=max_pages, quantized=quantized,
+            save_stats=return_lse,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=grid,
             in_specs=in_specs,
-            out_specs=pl.BlockSpec((1, 1, group, d), q_index),
+            out_specs=out_specs,
             scratch_shapes=[
-                pltpu.VMEM((group, LANES), jnp.float32),
-                pltpu.VMEM((group, LANES), jnp.float32),
-                pltpu.VMEM((group, d), jnp.float32),
+                pltpu.VMEM((hkv, group, LANES), jnp.float32),
+                pltpu.VMEM((hkv, group, LANES), jnp.float32),
+                pltpu.VMEM((hkv, group, d), jnp.float32),
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((batch, hkv, group, d), q.dtype),
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
     )(lengths, page_table, *inputs)
-    return out.reshape(batch, hq, d)
+    o = outs[0].reshape(batch, hq, d)
+    if return_lse:
+        return o, outs[1][..., 0].reshape(batch, hq)
+    return o
 
 
 def paged_decode_reference(q, k_pool, v_pool, page_table, lengths, *,

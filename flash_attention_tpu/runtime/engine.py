@@ -78,6 +78,7 @@ class _Slot:
     seq_id: int
     prompt_len: int
     length: int                       # tokens whose KV is in the cache
+    tail: int                         # of which, in the hot-tail buffer
     next_token: int                   # fed into the next decode step
     generated: list
     worst_pages: int                  # admission reservation
@@ -109,7 +110,7 @@ class Engine:
     def __init__(self, params, cfg: LlamaConfig, *, max_batch: int = 8,
                  num_pages: int = 128, page_size: int = DEFAULT_PAGE_SIZE,
                  max_seq_len: int | None = None, cache_dtype=None,
-                 seed: int = 0):
+                 tail_size: int | None = None, seed: int = 0):
         self.params = params
         self.cfg = cfg
         self.max_batch = max_batch
@@ -121,21 +122,25 @@ class Engine:
             n_layers=cfg.n_layers, kv_heads=cfg.n_kv_heads,
             head_dim=cfg.head_dim, num_pages=num_pages,
             page_size=page_size, max_seqs=max_batch,
-            dtype=cache_dtype or cfg.dtype,
+            tail_size=tail_size, dtype=cache_dtype or cfg.dtype,
         )
         self.slots: list[_Slot | None] = [None] * max_batch
         self.pending: collections.deque[Request] = collections.deque()
         self.stats = EngineStats()
         self._key = jax.random.PRNGKey(seed)
 
-        def _decode(params, token, k_pools, v_pools, tables, lengths):
+        def _decode(params, token, k_pages, v_pages, k_tails, v_tails,
+                    tables, paged_lens, tail_pos):
             return decode_step_paged(
-                params, token, cfg, k_pools, v_pools, tables, lengths)
+                params, token, cfg, k_pages, v_pages, k_tails, v_tails,
+                tables, paged_lens, tail_pos)
 
         def _prefill(params, tokens, true_len):
             return prefill_kv(params, tokens, cfg, true_len=true_len)
 
-        self._decode_fn = jax.jit(_decode, donate_argnums=(2, 3))
+        # Tails are donated (mutated per step); pages are read-only in
+        # the decode step and flushed separately (kv_cache.flush_tails).
+        self._decode_fn = jax.jit(_decode, donate_argnums=(4, 5))
         self._prefill_fn = jax.jit(_prefill)
 
     # --- scheduling -------------------------------------------------------
@@ -192,7 +197,7 @@ class Engine:
             self.stats.prefill_tokens += t
 
             slot = _Slot(request=req, seq_id=sid, prompt_len=t, length=t,
-                         next_token=first, generated=[first],
+                         tail=0, next_token=first, generated=[first],
                          worst_pages=worst)
             fin = self._maybe_finish(slot)
             if fin is not None:
@@ -249,27 +254,20 @@ class Engine:
             self.stats.engine_steps += 1
             return done
 
-        # Materialize the page for each live slot's next position before
-        # the fused step (reservation guarantees success).
-        for i in live:
-            s = self.slots[i]
-            if not self.cache.extend(s.seq_id, s.length + 1):
-                raise RuntimeError(
-                    "page reservation violated — allocator exhausted")
-
         tokens = np.zeros(self.max_batch, np.int32)
-        lengths = np.zeros(self.max_batch, np.int32)
+        tail_pos = np.zeros(self.max_batch, np.int32)
         for i in live:
             tokens[i] = self.slots[i].next_token
-            lengths[i] = self.slots[i].length
-        tables, _ = self.cache.batch_state(
+            tail_pos[i] = self.slots[i].tail
+        tables, paged_lens = self.cache.batch_state(
             [s.seq_id if s else -1 for s in self.slots], self.max_pages)
 
         t0 = time.perf_counter()
-        logits, self.cache.k_pools, self.cache.v_pools = self._decode_fn(
+        logits, self.cache.k_tails, self.cache.v_tails = self._decode_fn(
             self.params, jnp.asarray(tokens),
             self.cache.k_pools, self.cache.v_pools,
-            tables, jnp.asarray(lengths),
+            self.cache.k_tails, self.cache.v_tails,
+            tables, paged_lens, jnp.asarray(tail_pos),
         )
         temps = np.array(
             [self.slots[i].request.temperature if i in live else 0.0
@@ -282,12 +280,22 @@ class Engine:
         for i in live:
             s = self.slots[i]
             s.length += 1
+            s.tail += 1
             s.next_token = int(nxt[i])
             s.generated.append(int(nxt[i]))
             fin = self._maybe_finish(s)
             if fin is not None:
                 done.append(fin)
                 self.slots[i] = None
+        # Flush tails into pages before any slot's tail overflows.
+        if any(s is not None and s.tail >= self.cache.tail_size
+               for s in self.slots):
+            self.cache.flush_tails(
+                [s.seq_id if s else -1 for s in self.slots],
+                [s.tail if s else 0 for s in self.slots])
+            for s in self.slots:
+                if s is not None:
+                    s.tail = 0
         return done
 
     def run(self, requests=None) -> list[Completion]:

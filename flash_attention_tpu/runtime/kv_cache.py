@@ -18,6 +18,7 @@ come from `batch_state()`.
 from __future__ import annotations
 
 import dataclasses
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -160,34 +161,60 @@ class PagedKVCache:
         return n
 
 
-@jax.jit
-def _write_layered(pool, page_ids, offsets, new):
-    """Scatter prefill tokens into layered pools.
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _write_layered(pools, page_ids, offsets, new):
+    """Scatter prefill tokens into per-layer pools (donated: in-place).
 
-    pool: [L, Hkv, P, ps, D]; page_ids/offsets: [T] int32;
+    pools: list of [Hkv, P, ps, D]; page_ids/offsets: [T] int32;
     new: [L, Hkv, T, D]."""
-    return pool.at[:, :, page_ids, offsets, :].set(new.astype(pool.dtype))
+    return [
+        pool.at[:, page_ids, offsets, :].set(new[li].astype(pool.dtype))
+        for li, pool in enumerate(pools)
+    ]
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1))
+def _flush_layered(k_pools, v_pools, k_tails, v_tails,
+                   b_idx, t_idx, page_ids, offsets):
+    """Scatter tail tokens into pages, all layers in one dispatch.
+
+    Flat index arrays (fixed length B*TAIL for compile stability):
+    entry n writes tails[b_idx[n], :, t_idx[n]] at page_ids[n]/offsets[n];
+    dead entries point at the scratch page. Pages donated -> in-place
+    (this program contains no Pallas call, so the scatter aliases)."""
+    new_k, new_v = [], []
+    for kp, vp, kt, vt in zip(k_pools, v_pools, k_tails, v_tails):
+        uk = jnp.moveaxis(kt[b_idx, :, t_idx, :], 0, 1)   # [Hkv, N, D]
+        uv = jnp.moveaxis(vt[b_idx, :, t_idx, :], 0, 1)
+        new_k.append(kp.at[:, page_ids, offsets, :].set(uk.astype(kp.dtype)))
+        new_v.append(vp.at[:, page_ids, offsets, :].set(uv.astype(vp.dtype)))
+    return new_k, new_v
 
 
 class LayeredPagedKVCache:
     """Per-layer paged K/V pools sharing one page allocator.
 
-    A page id indexes the same slot in every layer's pool, so one
-    allocator page represents `page_size` tokens across ALL layers and
-    heads — sequence bookkeeping stays model-agnostic. Page 0 is reserved
-    as a scratch page: dead decode slots point their whole page table at
-    it, so their (masked) token writes land harmlessly.
+    Pools are LISTS of per-layer [Hkv, P, ps, D] arrays (each layer a
+    separate buffer so token scatters update in place; see
+    models/llama.py decode_step_paged). A page id indexes the same slot
+    in every layer's pool, so one allocator page represents `page_size`
+    tokens across ALL layers and heads — sequence bookkeeping stays
+    model-agnostic. Page 0 is reserved as a scratch page: dead decode
+    slots point their whole page table at it, so their (masked) token
+    writes land harmlessly.
     """
 
     def __init__(self, *, n_layers: int, kv_heads: int, head_dim: int,
                  num_pages: int, page_size: int = DEFAULT_PAGE_SIZE,
-                 max_seqs: int = 64, dtype=jnp.bfloat16):
+                 max_seqs: int = 64, tail_size: int | None = None,
+                 dtype=jnp.bfloat16):
         self.n_layers = n_layers
         self.kv_heads = kv_heads
         self.head_dim = head_dim
         self.page_size = page_size
         self.num_pages = num_pages
         self.max_seqs = max_seqs
+        self.tail_size = tail_size or page_size
         self.dtype = dtype
         # +1 slot / +1 page for the reserved scratch sequence.
         self.allocator = make_allocator(num_pages, page_size, max_seqs + 1)
@@ -195,9 +222,14 @@ class LayeredPagedKVCache:
         self.scratch_page = int(
             self.allocator.page_table(self._scratch_sid, 1)[0][0]
         )
-        shape = (n_layers, kv_heads, num_pages, page_size, head_dim)
-        self.k_pools = jnp.zeros(shape, dtype)
-        self.v_pools = jnp.zeros(shape, dtype)
+        shape = (kv_heads, num_pages, page_size, head_dim)
+        self.k_pools = [jnp.zeros(shape, dtype) for _ in range(n_layers)]
+        self.v_pools = [jnp.zeros(shape, dtype) for _ in range(n_layers)]
+        # Dense hot-tail buffers, slot-indexed (see llama.py
+        # decode_step_paged: per-token writes go here, not into pages).
+        tshape = (max_seqs, kv_heads, self.tail_size, head_dim)
+        self.k_tails = [jnp.zeros(tshape, dtype) for _ in range(n_layers)]
+        self.v_tails = [jnp.zeros(tshape, dtype) for _ in range(n_layers)]
 
     @property
     def free_pages(self) -> int:
@@ -254,6 +286,35 @@ class LayeredPagedKVCache:
             tables[i] = tbl
         return jnp.asarray(tables), jnp.asarray(lengths)
 
+    def flush_tails(self, slot_sids, counts) -> None:
+        """Move each slot's first counts[i] tail tokens into its pages
+        (one donated dispatch across all layers), extending allocations.
+        The caller resets its tail counters afterwards; tail rows become
+        stale and are masked by tail_pos in the decode step."""
+        b = self.max_seqs
+        t = self.tail_size
+        pids = np.full((b * t,), self.scratch_page, np.int32)
+        offs = np.zeros((b * t,), np.int32)
+        b_idx = np.repeat(np.arange(b), t).astype(np.int32)
+        t_idx = np.tile(np.arange(t), b).astype(np.int32)
+        for i, (sid, cnt) in enumerate(zip(slot_sids, counts)):
+            if sid is None or sid < 0 or cnt == 0:
+                continue
+            start = self.allocator.length(sid)
+            if not self.allocator.extend(sid, start + int(cnt)):
+                raise MemoryError("KV pool exhausted during tail flush")
+            table, _ = self.allocator.page_table(
+                sid, self.pages_for(start + int(cnt)))
+            pos = np.arange(start, start + int(cnt))
+            pids[i * t: i * t + int(cnt)] = table[pos // self.page_size]
+            offs[i * t: i * t + int(cnt)] = pos % self.page_size
+        self.k_pools, self.v_pools = _flush_layered(
+            self.k_pools, self.v_pools, self.k_tails, self.v_tails,
+            jnp.asarray(b_idx), jnp.asarray(t_idx),
+            jnp.asarray(pids), jnp.asarray(offs))
+
     @property
     def hbm_bytes(self) -> int:
-        return 2 * self.k_pools.size * self.k_pools.dtype.itemsize
+        n = 2 * sum(p.size * p.dtype.itemsize for p in self.k_pools)
+        n += 2 * sum(p.size * p.dtype.itemsize for p in self.k_tails)
+        return n

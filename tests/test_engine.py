@@ -121,3 +121,27 @@ def test_engine_rejects_oversized_request(params):
     eng.submit(Request(prompt=[1] * 10, max_new_tokens=10_000))
     with pytest.raises(ValueError, match="exceeds max_seq_len"):
         eng.step()
+
+
+def test_engine_tail_flush_exactness(params, rng):
+    """Force many tail->page flushes (tail_size 4, 13 generated tokens)
+    and cross a page boundary mid-generation; output must stay exact."""
+    prompt = list(rng.integers(0, CFG.vocab_size, PAGE - 3))
+    eng = make_engine(params, num_pages=8, tail_size=4)
+    (c,) = eng.run([Request(prompt=prompt, max_new_tokens=13)])
+    assert c.tokens == ref_greedy(params, prompt, 13)
+
+
+def test_engine_tail_flush_mixed_slots(params, rng):
+    """Flush with a mix of live, finished, and freshly admitted slots."""
+    prompts = [list(rng.integers(0, CFG.vocab_size, 5 + 3 * i))
+               for i in range(5)]
+    eng = make_engine(params, max_batch=2, num_pages=16, tail_size=3)
+    lens = [9, 2, 7, 3, 11]
+    comps = eng.run([
+        Request(prompt=p, max_new_tokens=n)
+        for p, n in zip(prompts, lens)])
+    assert len(comps) == 5
+    for c, p, n in zip(sorted(comps, key=lambda c: c.request_id),
+                       prompts, lens):
+        assert c.tokens == ref_greedy(params, p, n)
