@@ -380,24 +380,43 @@ def cmd_serve_bench(args):
     import jax
     import jax.numpy as jnp
     from flash_attention_tpu.models.llama import LlamaConfig, init_params
-    from flash_attention_tpu.runtime.engine import Engine, Request
+    from flash_attention_tpu.runtime.engine import (
+        Engine, EngineStats, Request,
+    )
 
     cfg = getattr(LlamaConfig, _PRESETS[args.model])(dtype=jnp.bfloat16)
     params = init_params(cfg, jax.random.PRNGKey(0))
     rng = np.random.default_rng(42)
+    kvq = {"int8": jnp.int8, "fp8": jnp.float8_e4m3fn,
+           None: None, "none": None}[args.kv_quant]
     eng = Engine(params, cfg, max_batch=args.batch,
-                 num_pages=args.num_pages, page_size=args.page_size)
-    reqs = [
-        Request(
-            prompt=list(rng.integers(0, cfg.vocab_size, args.prompt_len)),
-            max_new_tokens=args.gen_len)
-        for _ in range(args.requests)
-    ]
+                 num_pages=args.num_pages, page_size=args.page_size,
+                 kv_quant_dtype=kvq, decode_chunk=args.decode_chunk)
+
+    def make_reqs(n):
+        return [
+            Request(prompt=list(
+                rng.integers(0, cfg.vocab_size, args.prompt_len)),
+                max_new_tokens=args.gen_len)
+            for _ in range(n)
+        ]
+
+    # Warmup round compiles prefill/decode/flush programs; the engine is
+    # then reused so the measured round is compile-free.
+    eng.run(make_reqs(min(args.batch + 1, args.requests)))
+    import dataclasses as _dc
+    base = _dc.replace(eng.stats)
     t0 = time.perf_counter()
-    comps = eng.run(reqs)
+    comps = eng.run(make_reqs(args.requests))
     wall = time.perf_counter() - t0
     total_gen = sum(len(c.tokens) for c in comps)
-    s = eng.stats
+    s = EngineStats(
+        prefill_tokens=eng.stats.prefill_tokens - base.prefill_tokens,
+        decode_tokens=eng.stats.decode_tokens - base.decode_tokens,
+        engine_steps=eng.stats.engine_steps - base.engine_steps,
+        prefill_s=eng.stats.prefill_s - base.prefill_s,
+        decode_s=eng.stats.decode_s - base.decode_s,
+    )
     print(f"serve-bench [{args.model}]: {len(comps)} requests, "
           f"{total_gen} tokens in {wall:.2f} s wall")
     print(f"  decode: {s.decode_tokens} tok in {s.decode_s:.2f} s = "
@@ -481,6 +500,9 @@ def main(argv=None):
     ps_.add_argument("--gen-len", type=int, default=64)
     ps_.add_argument("--num-pages", type=int, default=512)
     ps_.add_argument("--page-size", type=int, default=256)
+    ps_.add_argument("--kv-quant", default=None,
+                     choices=[None, "none", "int8", "fp8"])
+    ps_.add_argument("--decode-chunk", type=int, default=8)
     ps_.set_defaults(fn=cmd_serve_bench)
 
     pf = sub.add_parser("profile",

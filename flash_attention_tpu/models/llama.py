@@ -308,7 +308,8 @@ def _tail_attention(q, kt, vt, tail_pos, scale):
 
 
 def decode_step_paged(params, token, cfg: LlamaConfig, k_pages, v_pages,
-                      k_tails, v_tails, page_tables, paged_lens, tail_pos):
+                      k_tails, v_tails, page_tables, paged_lens, tail_pos,
+                      k_scales=None, v_scales=None):
     """One decode step: paged prefix (READ-ONLY Pallas kernel) + dense
     hot-tail buffer (jnp attention, scattered in place).
 
@@ -336,8 +337,11 @@ def decode_step_paged(params, token, cfg: LlamaConfig, k_pages, v_pages,
     bidx = jnp.arange(b)
     x = params["embed"][token][:, None]               # [B, 1, D]
     new_k_tails, new_v_tails = [], []
-    for layer, kp, vp, kt, vt in zip(
-            params["layers"], k_pages, v_pages, k_tails, v_tails):
+    if k_scales is None:
+        k_scales = v_scales = [None] * cfg.n_layers
+    for layer, kp, vp, kt, vt, ksc, vsc in zip(
+            params["layers"], k_pages, v_pages, k_tails, v_tails,
+            k_scales, v_scales):
         h = rmsnorm(x, layer["attn_norm"], cfg.norm_eps)
         q = jnp.einsum("btd,dhk->bhtk", h, layer["wq"])
         k = jnp.einsum("btd,dhk->bhtk", h, layer["wk"])
@@ -352,7 +356,7 @@ def decode_step_paged(params, token, cfg: LlamaConfig, k_pages, v_pages,
         qg = q[:, :, 0].reshape(b, hkv, group, cfg.head_dim)
         o_p, lse_p = paged_flash_decode(
             q[:, :, 0], kp, vp, page_tables, paged_lens,
-            scale=scale, return_lse=True)
+            k_scales=ksc, v_scales=vsc, scale=scale, return_lse=True)
         o_p = o_p.reshape(b, hkv, group, cfg.head_dim).astype(jnp.float32)
         lse_p = lse_p.reshape(b, hkv, group)
         o_t, lse_t = _tail_attention(qg, kt, vt, tail_pos, scale)

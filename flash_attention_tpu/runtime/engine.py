@@ -110,7 +110,8 @@ class Engine:
     def __init__(self, params, cfg: LlamaConfig, *, max_batch: int = 8,
                  num_pages: int = 128, page_size: int = DEFAULT_PAGE_SIZE,
                  max_seq_len: int | None = None, cache_dtype=None,
-                 tail_size: int | None = None, seed: int = 0):
+                 tail_size: int | None = None, kv_quant_dtype=None,
+                 decode_chunk: int = 1, seed: int = 0):
         self.params = params
         self.cfg = cfg
         self.max_batch = max_batch
@@ -123,17 +124,48 @@ class Engine:
             head_dim=cfg.head_dim, num_pages=num_pages,
             page_size=page_size, max_seqs=max_batch,
             tail_size=tail_size, dtype=cache_dtype or cfg.dtype,
+            quant_dtype=kv_quant_dtype,
         )
         self.slots: list[_Slot | None] = [None] * max_batch
         self.pending: collections.deque[Request] = collections.deque()
         self.stats = EngineStats()
         self._key = jax.random.PRNGKey(seed)
 
+        self.decode_chunk = max(1, decode_chunk)
+        if self.decode_chunk >= self.cache.tail_size:
+            raise ValueError("decode_chunk must be < tail_size")
+
         def _decode(params, token, k_pages, v_pages, k_tails, v_tails,
-                    tables, paged_lens, tail_pos):
+                    tables, paged_lens, tail_pos, k_scales, v_scales):
             return decode_step_paged(
                 params, token, cfg, k_pages, v_pages, k_tails, v_tails,
-                tables, paged_lens, tail_pos)
+                tables, paged_lens, tail_pos,
+                k_scales=k_scales, v_scales=v_scales)
+
+        def _decode_chunk(params, token, k_pages, v_pages, k_tails,
+                          v_tails, tables, paged_lens, tail_pos,
+                          k_scales, v_scales, temps, key):
+            """decode_chunk steps fused in one program: the sampled
+            token feeds the next step on-device; ONE host sync per
+            chunk instead of per token (the tunnel round-trip otherwise
+            dominates at tens of ms)."""
+            def body(carry, i):
+                tok, kt, vt = carry
+                logits, kt, vt = decode_step_paged(
+                    params, tok, cfg, k_pages, v_pages, kt, vt,
+                    tables, paged_lens, tail_pos + i,
+                    k_scales=k_scales, v_scales=v_scales)
+                greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                cat = jax.random.categorical(
+                    jax.random.fold_in(key, i),
+                    logits / jnp.maximum(temps, 1e-6)[:, None], axis=-1
+                ).astype(jnp.int32)
+                nxt = jnp.where(temps <= 0.0, greedy, cat)
+                return (nxt, kt, vt), nxt
+            (_, k_tails, v_tails), toks = jax.lax.scan(
+                body, (token, k_tails, v_tails),
+                jnp.arange(self.decode_chunk))
+            return toks, k_tails, v_tails
 
         def _prefill(params, tokens, true_len):
             return prefill_kv(params, tokens, cfg, true_len=true_len)
@@ -141,6 +173,8 @@ class Engine:
         # Tails are donated (mutated per step); pages are read-only in
         # the decode step and flushed separately (kv_cache.flush_tails).
         self._decode_fn = jax.jit(_decode, donate_argnums=(4, 5))
+        self._decode_chunk_fn = jax.jit(_decode_chunk,
+                                        donate_argnums=(4, 5))
         self._prefill_fn = jax.jit(_prefill)
 
     # --- scheduling -------------------------------------------------------
@@ -246,56 +280,79 @@ class Engine:
     # --- engine step ------------------------------------------------------
 
     def step(self) -> list[Completion]:
-        """One engine iteration: admit, one fused decode step, collect
-        finished sequences. Returns completions finished this step."""
+        """One engine iteration: admit, one fused decode dispatch of
+        `decode_chunk` steps, collect finished sequences. Returns
+        completions finished this step."""
         done = self._try_admit()
         live = [i for i, s in enumerate(self.slots) if s is not None]
         if not live:
             self.stats.engine_steps += 1
             return done
 
-        tokens = np.zeros(self.max_batch, np.int32)
-        tail_pos = np.zeros(self.max_batch, np.int32)
-        for i in live:
-            tokens[i] = self.slots[i].next_token
-            tail_pos[i] = self.slots[i].tail
-        tables, paged_lens = self.cache.batch_state(
-            [s.seq_id if s else -1 for s in self.slots], self.max_pages)
-
-        t0 = time.perf_counter()
-        logits, self.cache.k_tails, self.cache.v_tails = self._decode_fn(
-            self.params, jnp.asarray(tokens),
-            self.cache.k_pools, self.cache.v_pools,
-            self.cache.k_tails, self.cache.v_tails,
-            tables, paged_lens, jnp.asarray(tail_pos),
-        )
-        temps = np.array(
-            [self.slots[i].request.temperature if i in live else 0.0
-             for i in range(self.max_batch)], np.float32)
-        nxt = self._sample_batch(logits, temps)
-        self.stats.decode_s += time.perf_counter() - t0
-        self.stats.decode_tokens += len(live)
-        self.stats.engine_steps += 1
-
-        for i in live:
-            s = self.slots[i]
-            s.length += 1
-            s.tail += 1
-            s.next_token = int(nxt[i])
-            s.generated.append(int(nxt[i]))
-            fin = self._maybe_finish(s)
-            if fin is not None:
-                done.append(fin)
-                self.slots[i] = None
-        # Flush tails into pages before any slot's tail overflows.
-        if any(s is not None and s.tail >= self.cache.tail_size
-               for s in self.slots):
+        chunk = self.decode_chunk
+        # Flush BEFORE the chunk if any live tail could overflow.
+        if any(self.slots[i].tail + chunk > self.cache.tail_size
+               for i in live):
             self.cache.flush_tails(
                 [s.seq_id if s else -1 for s in self.slots],
                 [s.tail if s else 0 for s in self.slots])
             for s in self.slots:
                 if s is not None:
                     s.tail = 0
+
+        tokens = np.zeros(self.max_batch, np.int32)
+        tail_pos = np.zeros(self.max_batch, np.int32)
+        temps = np.zeros(self.max_batch, np.float32)
+        for i in live:
+            tokens[i] = self.slots[i].next_token
+            tail_pos[i] = self.slots[i].tail
+            temps[i] = self.slots[i].request.temperature
+        tables, paged_lens = self.cache.batch_state(
+            [s.seq_id if s else -1 for s in self.slots], self.max_pages)
+
+        t0 = time.perf_counter()
+        if chunk == 1:
+            logits, self.cache.k_tails, self.cache.v_tails = \
+                self._decode_fn(
+                    self.params, jnp.asarray(tokens),
+                    self.cache.k_pools, self.cache.v_pools,
+                    self.cache.k_tails, self.cache.v_tails,
+                    tables, paged_lens, jnp.asarray(tail_pos),
+                    self.cache.k_scale_pools, self.cache.v_scale_pools,
+                )
+            toks = self._sample_batch(logits, temps)[None, :]
+        else:
+            toks_dev, self.cache.k_tails, self.cache.v_tails = \
+                self._decode_chunk_fn(
+                    self.params, jnp.asarray(tokens),
+                    self.cache.k_pools, self.cache.v_pools,
+                    self.cache.k_tails, self.cache.v_tails,
+                    tables, paged_lens, jnp.asarray(tail_pos),
+                    self.cache.k_scale_pools, self.cache.v_scale_pools,
+                    jnp.asarray(temps), self._next_key(),
+                )
+            toks = np.asarray(toks_dev)              # [chunk, B], one sync
+        self.stats.decode_s += time.perf_counter() - t0
+        self.stats.decode_tokens += len(live) * toks.shape[0]
+        self.stats.engine_steps += 1
+
+        for i in live:
+            s = self.slots[i]
+            # All chunk tokens are in the cache (tail); accept into the
+            # transcript until eos/max_new — the rest is dead compute.
+            s.length += toks.shape[0]
+            s.tail += toks.shape[0]
+            for step_row in toks:
+                if s is None:
+                    break
+                tok = int(step_row[i])
+                s.next_token = tok
+                s.generated.append(tok)
+                fin = self._maybe_finish(s)
+                if fin is not None:
+                    done.append(fin)
+                    self.slots[i] = None
+                    s = None
         return done
 
     def run(self, requests=None) -> list[Completion]:

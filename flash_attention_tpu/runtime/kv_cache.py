@@ -173,6 +173,95 @@ def _write_layered(pools, page_ids, offsets, new):
     ]
 
 
+@functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3),
+                   static_argnames=("qdtype",))
+def _write_layered_quant(k_pools, v_pools, k_scales, v_scales, ks, vs,
+                         blk_pages, blk_rows, qdtype):
+    """Quantize + scatter block-aligned prefill tokens.
+
+    ks/vs: [L, Hkv, Nb*QUANT_BLOCK, D] (zero-padded past the prompt);
+    block n lands at (blk_pages[n], block row blk_rows[n]) of each pool.
+    """
+    qmax = _QMAX[jnp.dtype(qdtype)]
+    nb = blk_pages.shape[0]
+    r = jnp.arange(QUANT_BLOCK)
+    offs = blk_rows[:, None] * QUANT_BLOCK + r[None, :]     # [Nb, QB]
+
+    def quant_scatter(pool, scales, x):
+        l_hkv, t, d = x.shape
+        xr = x.astype(jnp.float32).reshape(l_hkv, nb, QUANT_BLOCK, d)
+        absmax = jnp.max(jnp.abs(xr), axis=2)               # [Hkv, Nb, D]
+        sc = jnp.maximum(absmax / qmax, 1e-8)
+        q = xr / sc[:, :, None, :]
+        if jnp.dtype(qdtype) == jnp.dtype(jnp.int8):
+            q = jnp.clip(jnp.round(q), -qmax, qmax)
+        pool = pool.at[:, blk_pages[:, None], offs, :].set(
+            q.astype(qdtype))
+        scales = scales.at[:, blk_pages, blk_rows, :].set(sc)
+        return pool, scales
+
+    nk, nv, nks, nvs = [], [], [], []
+    for li, (kp, vp, ksc, vsc) in enumerate(
+            zip(k_pools, v_pools, k_scales, v_scales)):
+        kp, ksc = quant_scatter(kp, ksc, ks[li])
+        vp, vsc = quant_scatter(vp, vsc, vs[li])
+        nk.append(kp)
+        nv.append(vp)
+        nks.append(ksc)
+        nvs.append(vsc)
+    return nk, nv, nks, nvs
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3),
+                   static_argnames=("qdtype",))
+def _flush_layered_quant(k_pools, v_pools, k_scales, v_scales,
+                         k_tails, v_tails, b_idx, blk_pages, blk_rows,
+                         s_rel, e_rel, tail_base, qdtype):
+    """Requant-overlay flush for quantized pools.
+
+    Per affected token-block n (fixed count for compile stability):
+    rows r < s_rel[n] keep their existing (dequantized) content, rows
+    s_rel<=r<e_rel take tail tokens (tail row = r + tail_base[n] of
+    slot b_idx[n]), rows >= e_rel zero. The block requantizes with a
+    fresh per-channel scale. Dead entries point at the scratch page.
+    """
+    qmax = _QMAX[jnp.dtype(qdtype)]
+    r = jnp.arange(QUANT_BLOCK)                              # [QB]
+    offs = blk_rows[:, None] * QUANT_BLOCK + r[None, :]      # [N, QB]
+    tail_len = k_tails[0].shape[2]
+    trow = jnp.clip(tail_base[:, None] + r[None, :], 0, tail_len - 1)
+    use_new = (r[None, :] >= s_rel[:, None]) & (r[None, :] < e_rel[:, None])
+    zero = r[None, :] >= e_rel[:, None]
+
+    def requant(pool, scales, tail):
+        cur = pool[:, blk_pages[:, None], offs, :].astype(jnp.float32)
+        cur = cur * scales[:, blk_pages, blk_rows, :][:, :, None, :]
+        new = tail[b_idx[:, None], :, trow, :]               # [N,QB,Hkv,D]
+        new = jnp.moveaxis(new, 2, 0).astype(jnp.float32)    # [Hkv,N,QB,D]
+        blk = jnp.where(use_new[None, :, :, None], new, cur)
+        blk = jnp.where(zero[None, :, :, None], 0.0, blk)
+        absmax = jnp.max(jnp.abs(blk), axis=2)               # [Hkv,N,D]
+        sc = jnp.maximum(absmax / qmax, 1e-8)
+        q = blk / sc[:, :, None, :]
+        if jnp.dtype(qdtype) == jnp.dtype(jnp.int8):
+            q = jnp.clip(jnp.round(q), -qmax, qmax)
+        pool = pool.at[:, blk_pages[:, None], offs, :].set(
+            q.astype(pool.dtype))
+        scales = scales.at[:, blk_pages, blk_rows, :].set(sc)
+        return pool, scales
+
+    nk, nv, nks, nvs = [], [], [], []
+    for kp, vp, ksc, vsc, kt, vt in zip(
+            k_pools, v_pools, k_scales, v_scales, k_tails, v_tails):
+        kp, ksc = requant(kp, ksc, kt)
+        vp, vsc = requant(vp, vsc, vt)
+        nk.append(kp)
+        nv.append(vp)
+        nks.append(ksc)
+        nvs.append(vsc)
+    return nk, nv, nks, nvs
+
+
 @functools.partial(jax.jit, donate_argnums=(0, 1))
 def _flush_layered(k_pools, v_pools, k_tails, v_tails,
                    b_idx, t_idx, page_ids, offsets):
@@ -207,7 +296,7 @@ class LayeredPagedKVCache:
     def __init__(self, *, n_layers: int, kv_heads: int, head_dim: int,
                  num_pages: int, page_size: int = DEFAULT_PAGE_SIZE,
                  max_seqs: int = 64, tail_size: int | None = None,
-                 dtype=jnp.bfloat16):
+                 dtype=jnp.bfloat16, quant_dtype=None):
         self.n_layers = n_layers
         self.kv_heads = kv_heads
         self.head_dim = head_dim
@@ -216,6 +305,14 @@ class LayeredPagedKVCache:
         self.max_seqs = max_seqs
         self.tail_size = tail_size or page_size
         self.dtype = dtype
+        # INT8/FP8 pages: values stored quantized with per-(page,
+        # token-block, channel) scales; the hot tail stays dense (new
+        # tokens quantize at flush, when their block requantizes).
+        self.quant_dtype = jnp.dtype(quant_dtype) if quant_dtype else None
+        if self.quant_dtype is not None and page_size % QUANT_BLOCK:
+            raise ValueError(
+                f"page_size must be a multiple of {QUANT_BLOCK} "
+                "for quantized pools")
         # +1 slot / +1 page for the reserved scratch sequence.
         self.allocator = make_allocator(num_pages, page_size, max_seqs + 1)
         self._scratch_sid = self.allocator.alloc(1)
@@ -223,8 +320,20 @@ class LayeredPagedKVCache:
             self.allocator.page_table(self._scratch_sid, 1)[0][0]
         )
         shape = (kv_heads, num_pages, page_size, head_dim)
-        self.k_pools = [jnp.zeros(shape, dtype) for _ in range(n_layers)]
-        self.v_pools = [jnp.zeros(shape, dtype) for _ in range(n_layers)]
+        pool_dtype = self.quant_dtype or dtype
+        self.k_pools = [jnp.zeros(shape, pool_dtype)
+                        for _ in range(n_layers)]
+        self.v_pools = [jnp.zeros(shape, pool_dtype)
+                        for _ in range(n_layers)]
+        if self.quant_dtype is not None:
+            sshape = (kv_heads, num_pages, page_size // QUANT_BLOCK,
+                      head_dim)
+            self.k_scale_pools = [jnp.full(sshape, 1e-8, jnp.float32)
+                                  for _ in range(n_layers)]
+            self.v_scale_pools = [jnp.full(sshape, 1e-8, jnp.float32)
+                                  for _ in range(n_layers)]
+        else:
+            self.k_scale_pools = self.v_scale_pools = None
         # Dense hot-tail buffers, slot-indexed (see llama.py
         # decode_step_paged: per-token writes go here, not into pages).
         tshape = (max_seqs, kv_heads, self.tail_size, head_dim)
@@ -264,6 +373,27 @@ class LayeredPagedKVCache:
         t = ks.shape[2]
         max_pages = -(-(start + t) // self.page_size)
         table, _ = self.allocator.page_table(seq_id, max_pages)
+        if self.quant_dtype is not None:
+            if start % QUANT_BLOCK:
+                raise ValueError("quantized bulk writes must be "
+                                 "token-block aligned")
+            nb = -(-t // QUANT_BLOCK)
+            pad = nb * QUANT_BLOCK - t
+            if pad:
+                ks = jnp.pad(ks, ((0, 0), (0, 0), (0, pad), (0, 0)))
+                vs = jnp.pad(vs, ((0, 0), (0, 0), (0, pad), (0, 0)))
+            gblk = start // QUANT_BLOCK + np.arange(nb)
+            blk_pages = jnp.asarray(
+                table[gblk * QUANT_BLOCK // self.page_size], jnp.int32)
+            blk_rows = jnp.asarray(
+                (gblk * QUANT_BLOCK % self.page_size) // QUANT_BLOCK,
+                jnp.int32)
+            (self.k_pools, self.v_pools, self.k_scale_pools,
+             self.v_scale_pools) = _write_layered_quant(
+                self.k_pools, self.v_pools,
+                self.k_scale_pools, self.v_scale_pools,
+                ks, vs, blk_pages, blk_rows, self.quant_dtype)
+            return
         pos = np.arange(start, start + t)
         page_ids = jnp.asarray(table[pos // self.page_size], jnp.int32)
         offsets = jnp.asarray(pos % self.page_size, jnp.int32)
@@ -291,6 +421,8 @@ class LayeredPagedKVCache:
         (one donated dispatch across all layers), extending allocations.
         The caller resets its tail counters afterwards; tail rows become
         stale and are masked by tail_pos in the decode step."""
+        if self.quant_dtype is not None:
+            return self._flush_tails_quant(slot_sids, counts)
         b = self.max_seqs
         t = self.tail_size
         pids = np.full((b * t,), self.scratch_page, np.int32)
@@ -312,6 +444,46 @@ class LayeredPagedKVCache:
             self.k_pools, self.v_pools, self.k_tails, self.v_tails,
             jnp.asarray(b_idx), jnp.asarray(t_idx),
             jnp.asarray(pids), jnp.asarray(offs))
+
+    def _flush_tails_quant(self, slot_sids, counts) -> None:
+        """Quantized flush: requantize every token-block the tail tokens
+        touch (existing rows dequant + overlay + fresh scale)."""
+        b = self.max_seqs
+        mb = self.tail_size // QUANT_BLOCK + 1   # max blocks per slot
+        n = b * mb
+        blk_pages = np.full((n,), self.scratch_page, np.int32)
+        blk_rows = np.zeros((n,), np.int32)
+        b_idx = np.repeat(np.arange(b), mb).astype(np.int32)
+        s_rel = np.zeros((n,), np.int32)
+        e_rel = np.zeros((n,), np.int32)
+        tail_base = np.zeros((n,), np.int32)
+        for i, (sid, cnt) in enumerate(zip(slot_sids, counts)):
+            if sid is None or sid < 0 or cnt == 0:
+                continue
+            start = self.allocator.length(sid)
+            end = start + int(cnt)
+            if not self.allocator.extend(sid, end):
+                raise MemoryError("KV pool exhausted during tail flush")
+            table, _ = self.allocator.page_table(
+                sid, self.pages_for(end))
+            g0, g1 = start // QUANT_BLOCK, (end - 1) // QUANT_BLOCK
+            for j, g in enumerate(range(g0, g1 + 1)):
+                nidx = i * mb + j
+                gs = g * QUANT_BLOCK
+                blk_pages[nidx] = table[gs // self.page_size]
+                blk_rows[nidx] = (gs % self.page_size) // QUANT_BLOCK
+                s_rel[nidx] = max(start - gs, 0)
+                e_rel[nidx] = min(end - gs, QUANT_BLOCK)
+                tail_base[nidx] = gs - start
+        (self.k_pools, self.v_pools, self.k_scale_pools,
+         self.v_scale_pools) = _flush_layered_quant(
+            self.k_pools, self.v_pools,
+            self.k_scale_pools, self.v_scale_pools,
+            self.k_tails, self.v_tails,
+            jnp.asarray(b_idx), jnp.asarray(blk_pages),
+            jnp.asarray(blk_rows), jnp.asarray(s_rel),
+            jnp.asarray(e_rel), jnp.asarray(tail_base),
+            self.quant_dtype)
 
     @property
     def hbm_bytes(self) -> int:

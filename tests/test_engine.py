@@ -145,3 +145,25 @@ def test_engine_tail_flush_mixed_slots(params, rng):
     for c, p, n in zip(sorted(comps, key=lambda c: c.request_id),
                        prompts, lens):
         assert c.tokens == ref_greedy(params, p, n)
+
+
+def test_engine_chunked_decode_matches_greedy(params, rng):
+    """decode_chunk > 1 (one dispatch per chunk, on-device resampling)
+    must produce identical greedy outputs, including eos mid-chunk and
+    flushes between chunks."""
+    prompts = [list(rng.integers(0, CFG.vocab_size, n))
+               for n in (7, 130, 13)]
+    want = [ref_greedy(params, p, 11) for p in prompts]
+    eng = make_engine(params, tail_size=8, num_pages=32)
+    eng.decode_chunk = 4
+    comps = eng.run([Request(prompt=p, max_new_tokens=11)
+                     for p in prompts])
+    for c, w in zip(sorted(comps, key=lambda c: c.request_id), want):
+        assert c.tokens == w
+    # eos mid-chunk
+    eos = want[0][5]
+    eng2 = make_engine(params, tail_size=8)
+    eng2.decode_chunk = 4
+    (c,) = eng2.run([Request(prompt=prompts[0], max_new_tokens=11,
+                             eos_id=eos)])
+    assert c.tokens == want[0][: want[0].index(eos) + 1]
