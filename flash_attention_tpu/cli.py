@@ -264,7 +264,15 @@ def cmd_decode_bench(args):
             LlamaConfig, decode_step_paged, init_params,
         )
         cfg = getattr(LlamaConfig, _PRESETS[args.model])(dtype=jnp.bfloat16)
-        params = init_params(cfg, jax.random.PRNGKey(0))
+        if args.weight_quant == "int8":
+            # Direct on-device int8 init: a bf16 8B tree would OOM the
+            # chip before host-side quantization could run.
+            from flash_attention_tpu.models.quantized import (
+                init_quantized_params,
+            )
+            params = init_quantized_params(cfg, jax.random.PRNGKey(0))
+        else:
+            params = init_params(cfg, jax.random.PRNGKey(0))
         bm, ctxm = args.model_batch, args.model_context
         mp = -(-ctxm // ps)
         npg = max(bm * mp, 1) + 1
@@ -317,10 +325,13 @@ def cmd_decode_bench(args):
             times.append(time.perf_counter() - t0)
         best = min(times)
         n_params = sum(x.size for x in jax.tree.leaves(params))
+        p_gb = sum(x.size * x.dtype.itemsize
+                   for x in jax.tree.leaves(params)) / 1e9
         kv_gb = 2 * cfg.n_layers * np.prod(pool_shape) * 2 / 1e9
-        print(f"model decode ({args.model}, {n_params / 1e9:.2f}B params, "
-              f"{kv_gb:.1f} GB KV pools): batch={bm} context~{ctxm} "
-              f"steps={steps}")
+        wq = f" weights={args.weight_quant}" if args.weight_quant else ""
+        print(f"model decode ({args.model}, {n_params / 1e9:.2f}B params "
+              f"= {p_gb:.1f} GB{wq}, {kv_gb:.1f} GB KV pools): batch={bm} "
+              f"context~{ctxm} steps={steps}")
         print(f"  {best / steps * 1e3:8.3f} ms/step  "
               f"{bm * steps / best:8.0f} tok/s/chip")
     return 0
@@ -487,6 +498,8 @@ def main(argv=None):
     pd.add_argument("--model-batch", type=int, default=32)
     pd.add_argument("--model-context", type=int, default=2048)
     pd.add_argument("--model-steps", type=int, default=32)
+    pd.add_argument("--weight-quant", default=None,
+                    choices=[None, "int8"])
     pd.add_argument("--warmup", type=int, default=3)
     pd.add_argument("--iters", type=int, default=10)
     pd.set_defaults(fn=cmd_decode_bench)

@@ -148,6 +148,17 @@ def param_shardings(cfg: LlamaConfig, tp_size: int | None = None) -> dict:
 # --- building blocks -----------------------------------------------------
 
 
+def _mm(spec, x, w):
+    """Weight einsum with int8 weight-only dispatch: a QuantizedWeight
+    (models/quantized.py) runs the fused-dequant Pallas matmul for
+    skinny shapes; dense weights run plain einsum."""
+    from flash_attention_tpu.models.quantized import QuantizedWeight
+
+    if isinstance(w, QuantizedWeight):
+        return w.einsum(spec, x)
+    return jnp.einsum(spec, x, w)
+
+
 def rmsnorm(x, w, eps):
     xf = x.astype(jnp.float32)
     scale = jax.lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True) + eps)
@@ -174,9 +185,9 @@ def _attention_block(layer, x, cfg, positions, kv_cache=None,
     """Returns (out [B,T,dim], new (k,v) for cache update or None)."""
     b, t, d = x.shape
     h = rmsnorm(x, layer["attn_norm"], cfg.norm_eps)
-    q = jnp.einsum("btd,dhk->bhtk", h, layer["wq"])
-    k = jnp.einsum("btd,dhk->bhtk", h, layer["wk"])
-    v = jnp.einsum("btd,dhk->bhtk", h, layer["wv"])
+    q = _mm("btd,dhk->bhtk", h, layer["wq"])
+    k = _mm("btd,dhk->bhtk", h, layer["wk"])
+    v = _mm("btd,dhk->bhtk", h, layer["wv"])
     q = rope(q, positions, cfg.rope_theta)
     k = rope(k, positions, cfg.rope_theta)
 
@@ -189,16 +200,16 @@ def _attention_block(layer, x, cfg, positions, kv_cache=None,
         # were already written at positions by the caller.
         ck, cv = kv_cache
         o = flash_decode(q[:, :, 0], ck, cv, cache_lengths)[:, :, None]
-    out = jnp.einsum("bhtk,hkd->btd", o, layer["wo"])
+    out = _mm("bhtk,hkd->btd", o, layer["wo"])
     return out, (k, v)
 
 
 def _mlp_block(layer, x, cfg):
     h = rmsnorm(x, layer["mlp_norm"], cfg.norm_eps)
-    gate = jnp.einsum("btd,df->btf", h, layer["w_gate"])
-    up = jnp.einsum("btd,df->btf", h, layer["w_up"])
-    return jnp.einsum("btf,fd->btd", jax.nn.silu(gate) * up,
-                      layer["w_down"])
+    gate = _mm("btd,df->btf", h, layer["w_gate"])
+    up = _mm("btd,df->btf", h, layer["w_up"])
+    return _mm("btf,fd->btd", jax.nn.silu(gate) * up,
+               layer["w_down"])
 
 
 def forward(params, tokens, cfg: LlamaConfig, *, positions=None,
@@ -222,7 +233,7 @@ def forward(params, tokens, cfg: LlamaConfig, *, positions=None,
     for layer in params["layers"]:
         x = layer_fn(x, layer)
     x = rmsnorm(x, params["final_norm"], cfg.norm_eps)
-    return jnp.einsum("btd,dv->btv", x, params["lm_head"])
+    return _mm("btd,dv->btv", x, params["lm_head"])
 
 
 def loss_fn(params, tokens, cfg: LlamaConfig, *, remat: bool = False):
@@ -278,7 +289,7 @@ def prefill_kv(params, tokens, cfg: LlamaConfig, *, true_len=None):
         idx = jnp.asarray(true_len, jnp.int32) - 1
         idx = jnp.broadcast_to(idx, (b,))
         last = jnp.take_along_axis(x, idx[:, None, None], axis=1)[:, 0]
-    logits = jnp.einsum("bd,dv->bv", last, params["lm_head"])
+    logits = _mm("bd,dv->bv", last, params["lm_head"])
     return logits, jnp.stack(ks), jnp.stack(vs)
 
 
@@ -343,9 +354,9 @@ def decode_step_paged(params, token, cfg: LlamaConfig, k_pages, v_pages,
             params["layers"], k_pages, v_pages, k_tails, v_tails,
             k_scales, v_scales):
         h = rmsnorm(x, layer["attn_norm"], cfg.norm_eps)
-        q = jnp.einsum("btd,dhk->bhtk", h, layer["wq"])
-        k = jnp.einsum("btd,dhk->bhtk", h, layer["wk"])
-        v = jnp.einsum("btd,dhk->bhtk", h, layer["wv"])
+        q = _mm("btd,dhk->bhtk", h, layer["wq"])
+        k = _mm("btd,dhk->bhtk", h, layer["wk"])
+        v = _mm("btd,dhk->bhtk", h, layer["wv"])
         q = rope(q, positions, cfg.rope_theta)
         k = rope(k, positions, cfg.rope_theta)
         kt = kt.at[bidx, :, tail_pos, :].set(k[:, :, 0].astype(kt.dtype))
@@ -364,10 +375,10 @@ def decode_step_paged(params, token, cfg: LlamaConfig, k_pages, v_pages,
         o = (o_p * jnp.exp(lse_p - lse)[..., None]
              + o_t * jnp.exp(lse_t - lse)[..., None])
         o = o.reshape(b, cfg.n_heads, cfg.head_dim).astype(x.dtype)[:, :, None]
-        x = x + jnp.einsum("bhtk,hkd->btd", o, layer["wo"])
+        x = x + _mm("bhtk,hkd->btd", o, layer["wo"])
         x = x + _mlp_block(layer, x, cfg)
     x = rmsnorm(x, params["final_norm"], cfg.norm_eps)
-    logits = jnp.einsum("bd,dv->bv", x[:, 0], params["lm_head"])
+    logits = _mm("bd,dv->bv", x[:, 0], params["lm_head"])
     return logits, new_k_tails, new_v_tails
 
 
@@ -400,7 +411,7 @@ def prefill(params, tokens, cfg: LlamaConfig, cache):
         x = x + a
         x = x + _mlp_block(layer, x, cfg)
     x = rmsnorm(x, params["final_norm"], cfg.norm_eps)
-    logits = jnp.einsum("bd,dv->bv", x[:, -1], params["lm_head"])
+    logits = _mm("bd,dv->bv", x[:, -1], params["lm_head"])
     lengths = jnp.full((b,), t, jnp.int32)
     return logits, new_cache, lengths
 
@@ -414,9 +425,9 @@ def decode_step(params, token, cfg: LlamaConfig, cache, lengths):
     new_cache = []
     for layer, (ck, cv) in zip(params["layers"], cache):
         h = rmsnorm(x, layer["attn_norm"], cfg.norm_eps)
-        q = jnp.einsum("btd,dhk->bhtk", h, layer["wq"])
-        k = jnp.einsum("btd,dhk->bhtk", h, layer["wk"])
-        v = jnp.einsum("btd,dhk->bhtk", h, layer["wv"])
+        q = _mm("btd,dhk->bhtk", h, layer["wq"])
+        k = _mm("btd,dhk->bhtk", h, layer["wk"])
+        v = _mm("btd,dhk->bhtk", h, layer["wv"])
         q = rope(q, positions, cfg.rope_theta)
         k = rope(k, positions, cfg.rope_theta)
         # Write the new token at its position in the cache.
@@ -425,8 +436,8 @@ def decode_step(params, token, cfg: LlamaConfig, cache, lengths):
         cv = cv.at[bidx, :, lengths].set(v[:, :, 0])
         new_cache.append((ck, cv))
         o = flash_decode(q[:, :, 0], ck, cv, lengths + 1)[:, :, None]
-        x = x + jnp.einsum("bhtk,hkd->btd", o, layer["wo"])
+        x = x + _mm("bhtk,hkd->btd", o, layer["wo"])
         x = x + _mlp_block(layer, x, cfg)
     x = rmsnorm(x, params["final_norm"], cfg.norm_eps)
-    logits = jnp.einsum("bd,dv->bv", x[:, 0], params["lm_head"])
+    logits = _mm("bd,dv->bv", x[:, 0], params["lm_head"])
     return logits, new_cache, lengths + 1

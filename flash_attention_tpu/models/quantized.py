@@ -1,0 +1,169 @@
+"""Weight-only INT8 quantization for the Llama family.
+
+North-star enabler (BASELINE.json config 4): 8B bf16 weights (16 GB)
+exceed a single v5e's HBM; per-output-channel int8 halves the footprint
+AND the decode latency (decode is weight-read bound). Weights store as
+2D int8 [contract, out] + fp32 per-output-channel scales; matmuls run
+the fused-dequant Pallas kernel (ops/quant_matmul.py) for skinny decode
+shapes and dequant-then-einsum for wide prefill/training shapes (where
+the MXU, not HBM, is the bottleneck).
+
+The model code is unchanged: every weight einsum goes through
+`llama._mm`, which dispatches on QuantizedWeight.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from flash_attention_tpu.ops.quant_matmul import int8_matmul, quantize_weight
+
+# Below this many rows, matmuls are weight-read bound and the int8
+# kernel wins; above it, dequantize once and let the MXU run bf16.
+_KERNEL_MAX_ROWS = 1024
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class QuantizedWeight:
+    """2D int8 weight [K, F] + per-output-channel scale [F].
+
+    orig_shape/n_contract recover the logical (possibly >2D) layout:
+    the first n_contract dims of orig_shape are the contraction dims.
+    """
+
+    q: jax.Array
+    scale: jax.Array
+    orig_shape: tuple
+    n_contract: int
+
+    def tree_flatten(self):
+        return (self.q, self.scale), (self.orig_shape, self.n_contract)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], children[1], aux[0], aux[1])
+
+    @property
+    def nbytes(self) -> int:
+        return self.q.size + self.scale.size * 4
+
+    def dequant(self, dtype=jnp.bfloat16):
+        w = self.q.astype(jnp.float32) * self.scale[None, :]
+        return w.astype(dtype).reshape(self.orig_shape)
+
+    def einsum(self, spec, x):
+        """Evaluate jnp.einsum(spec, x, self) with fused int8 dequant."""
+        ins, out = spec.split("->")
+        xs, ws = ins.split(",")
+        contract = [c for c in ws if c in xs]
+        wout = [c for c in ws if c not in xs]
+        if list(ws) != contract + wout:
+            raise ValueError(f"contraction dims must lead in {spec!r}")
+        xkeep = [c for c in xs if c not in contract]
+        perm = [xs.index(c) for c in xkeep + contract]
+        xt = jnp.transpose(x, perm)
+        keep_shape = xt.shape[: len(xkeep)]
+        x2 = xt.reshape(int(np.prod(keep_shape) or 1), -1)
+        if x2.shape[0] <= _KERNEL_MAX_ROWS:
+            y2 = int8_matmul(x2, self.q, self.scale)
+        else:
+            wdq = (self.q.astype(jnp.float32)
+                   * self.scale[None, :]).astype(x.dtype)
+            y2 = jnp.dot(x2, wdq)
+        wout_shape = self.orig_shape[self.n_contract:]
+        y = y2.reshape(*keep_shape, *wout_shape)
+        cur = xkeep + wout
+        return jnp.transpose(y, [cur.index(c) for c in out])
+
+
+def quantize_tensor(w, n_contract: int) -> QuantizedWeight:
+    """Quantize a weight whose first n_contract dims are contracted."""
+    shape = tuple(w.shape)
+    k = int(np.prod(shape[:n_contract]))
+    f = int(np.prod(shape[n_contract:]))
+    q, scale = quantize_weight(np.asarray(w, np.float32).reshape(k, f))
+    return QuantizedWeight(q=q, scale=scale, orig_shape=shape,
+                           n_contract=n_contract)
+
+
+# First-n-contract-dims per llama weight name (llama.py init_params).
+_LAYER_SPECS = {
+    "wq": 1, "wk": 1, "wv": 1,       # [d, h, k]
+    "wo": 2,                          # [h, k, d]
+    "w_gate": 1, "w_up": 1, "w_down": 1,
+}
+
+
+def quantize_params(params: dict, *, quantize_lm_head: bool = True) -> dict:
+    """Weight-only int8 quantization of a llama param tree. Norms and
+    the embedding gather stay dense (tiny / not matmuls)."""
+    out = dict(params)
+    out["layers"] = [
+        {
+            name: (quantize_tensor(w, _LAYER_SPECS[name])
+                   if name in _LAYER_SPECS else w)
+            for name, w in layer.items()
+        }
+        for layer in params["layers"]
+    ]
+    if quantize_lm_head:
+        out["lm_head"] = quantize_tensor(params["lm_head"], 1)
+    return out
+
+
+def init_quantized_params(cfg, key) -> dict:
+    """Directly initialize an int8-weight param tree ON DEVICE —
+    avoids materializing the bf16 tree (OOM at 8B on one chip) and the
+    host->device transfer of a host-side quantization. Statistically
+    matches quantize_params(init_params(...)): int8 values uniform-ish
+    with per-channel scales giving std ~ 1/sqrt(fan_in)."""
+    d, hd = cfg.dim, cfg.head_dim
+    keys = jax.random.split(key, 4 + cfg.n_layers)
+
+    def dense(k, shape, fan_in):
+        return (jax.random.normal(k, shape, jnp.float32) /
+                np.sqrt(fan_in)).astype(cfg.dtype)
+
+    def qdense(k, shape, fan_in, n_contract):
+        kk = int(np.prod(shape[:n_contract]))
+        f = int(np.prod(shape[n_contract:]))
+        q = jax.random.randint(k, (kk, f), -127, 128, jnp.int8)
+        # absmax-per-channel of N(0, 1/fan_in) weights ~ 4 sigma.
+        scale = jnp.full((f,), 4.0 / np.sqrt(fan_in) / 127.0, jnp.float32)
+        return QuantizedWeight(q=q, scale=scale, orig_shape=tuple(shape),
+                               n_contract=n_contract)
+
+    layers = []
+    for i in range(cfg.n_layers):
+        lk = jax.random.split(keys[4 + i], 7)
+        layers.append({
+            "attn_norm": jnp.ones((d,), cfg.dtype),
+            "wq": qdense(lk[0], (d, cfg.n_heads, hd), d, 1),
+            "wk": qdense(lk[1], (d, cfg.n_kv_heads, hd), d, 1),
+            "wv": qdense(lk[2], (d, cfg.n_kv_heads, hd), d, 1),
+            "wo": qdense(lk[3], (cfg.n_heads, hd, d),
+                         cfg.n_heads * hd, 2),
+            "mlp_norm": jnp.ones((d,), cfg.dtype),
+            "w_gate": qdense(lk[4], (d, cfg.ffn_dim), d, 1),
+            "w_up": qdense(lk[5], (d, cfg.ffn_dim), d, 1),
+            "w_down": qdense(lk[6], (cfg.ffn_dim, d), cfg.ffn_dim, 1),
+        })
+    return {
+        "embed": dense(keys[0], (cfg.vocab_size, d), d),
+        "layers": layers,
+        "final_norm": jnp.ones((d,), cfg.dtype),
+        "lm_head": qdense(keys[1], (d, cfg.vocab_size), d, 1),
+    }
+
+
+def params_nbytes(params) -> int:
+    return sum(
+        leaf.nbytes if hasattr(leaf, "nbytes") else 0
+        for leaf in jax.tree.leaves(
+            params, is_leaf=lambda x: isinstance(x, QuantizedWeight))
+    )

@@ -1,0 +1,111 @@
+"""Weight-only INT8 matmul: y = x @ dequant(W), dequant fused in-kernel.
+
+North-star support kernel (BASELINE.json config 4: "Llama-3-8B decode
+... 1 host" — 8B bf16 weights alone exceed a v5e's 16 GB HBM; int8
+weights halve both the footprint and, because decode is weight-read
+bound, the per-token latency). Pallas kernel:
+
+  * W is stored int8 [K, F] with one fp32 scale per OUTPUT channel
+    [F] — since the scale is constant along the contraction, it is
+    applied ONCE to the accumulator at the final store, not per tile:
+    the inner loop is a plain int8-load -> bf16-convert -> MXU matmul.
+  * HBM reads W at int8 width; the convert happens on the VPU in VMEM.
+  * Grid (m, f, k) with k innermost sequential; fp32 accumulator
+    scratch; bf16/f32 activations.
+
+Large-m callers (prefill/training, compute-bound) should prefer
+dequantize-then-einsum; this kernel targets skinny decode matmuls.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from flash_attention_tpu.config import LANES, cdiv, interpret_default, round_up
+
+
+def _kernel(x_ref, w_ref, s_ref, o_ref, acc_scr, *, nk):
+    kk = pl.program_id(2)
+
+    @pl.when(kk == 0)
+    def _init():
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    x = x_ref[...]
+    w = w_ref[...].astype(x.dtype)          # int8 -> compute dtype (VPU)
+    acc_scr[...] += lax.dot_general(
+        x, w, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(kk == nk - 1)
+    def _store():
+        o_ref[...] = (acc_scr[...] * s_ref[...]).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block_m", "block_f", "block_k", "interpret"),
+)
+def int8_matmul(x, w_q, w_scale, *, block_m=256, block_f=512, block_k=512,
+                interpret=None):
+    """y[m, f] = x[m, k] @ (w_q[k, f] * w_scale[f]).
+
+    x: bf16/f32; w_q: int8; w_scale: f32 per output channel.
+    """
+    m, k = x.shape
+    k2, f = w_q.shape
+    if k != k2 or w_scale.shape != (f,):
+        raise ValueError(f"shape mismatch: x{x.shape} w{w_q.shape} "
+                         f"scale{w_scale.shape}")
+    if interpret is None:
+        interpret = interpret_default()
+    bm = min(block_m, round_up(m, 8))
+    bf = min(block_f, round_up(f, LANES))
+    bk = min(block_k, round_up(k, LANES))
+    mp, fp, kp = round_up(m, bm), round_up(f, bf), round_up(k, bk)
+    if mp != m:
+        x = jnp.pad(x, ((0, mp - m), (0, 0)))
+    if kp != k:
+        x = jnp.pad(x, ((0, 0), (0, kp - k)))
+        w_q = jnp.pad(w_q, ((0, kp - k), (0, 0)))
+    if fp != f:
+        w_q = jnp.pad(w_q, ((0, 0), (0, fp - f)))
+        w_scale = jnp.pad(w_scale, (0, fp - f))
+    nk = kp // bk
+
+    out = pl.pallas_call(
+        functools.partial(_kernel, nk=nk),
+        grid=(mp // bm, fp // bf, nk),
+        in_specs=[
+            pl.BlockSpec((bm, bk), lambda i, j, kk: (i, kk)),
+            pl.BlockSpec((bk, bf), lambda i, j, kk: (kk, j)),
+            pl.BlockSpec((1, bf), lambda i, j, kk: (0, j)),
+        ],
+        out_specs=pl.BlockSpec((bm, bf), lambda i, j, kk: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((mp, fp), x.dtype),
+        scratch_shapes=[pltpu.VMEM((bm, bf), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(x, w_q, w_scale[None, :])
+    return out[:m, :f]
+
+
+def quantize_weight(w, *, axis_out=-1):
+    """Per-output-channel int8 quantization of a 2D weight [K, F]
+    (axis_out selects the non-contracted axis). Returns (q, scale)."""
+    wf = np.asarray(w, np.float32)
+    if axis_out in (-1, 1):
+        absmax = np.abs(wf).max(axis=0)
+        scale = np.maximum(absmax / 127.0, 1e-12)
+        q = np.clip(np.round(wf / scale[None, :]), -127, 127)
+    else:
+        raise ValueError("weights must be [contract, out]")
+    return jnp.asarray(q, jnp.int8), jnp.asarray(scale, jnp.float32)

@@ -1,0 +1,105 @@
+"""Weight-only INT8: kernel vs dequant reference, quantized model
+forward/decode fidelity, footprint halving."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flash_attention_tpu.models.llama import (
+    LlamaConfig,
+    forward,
+    init_params,
+)
+from flash_attention_tpu.models.quantized import (
+    QuantizedWeight,
+    quantize_params,
+    quantize_tensor,
+)
+from flash_attention_tpu.ops.quant_matmul import int8_matmul, quantize_weight
+
+CFG = LlamaConfig.tiny(dtype=jnp.float32)
+
+
+@pytest.mark.parametrize("m,k,f", [(8, 256, 512), (3, 130, 257),
+                                   (256, 512, 128)])
+def test_int8_matmul_matches_dequant_reference(rng, m, k, f):
+    x = jnp.asarray(rng.normal(0, 1, (m, k)), jnp.float32)
+    w = rng.normal(0, 0.05, (k, f)).astype(np.float32)
+    q, scale = quantize_weight(w)
+    got = int8_matmul(x, q, scale)
+    want = x @ (np.asarray(q, np.float32) * np.asarray(scale)[None, :])
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_quantized_weight_einsum_all_specs(rng):
+    """Every spec the model uses, vs einsum on the dequantized weight."""
+    cases = [
+        ("btd,dhk->bhtk", (2, 3, 64), (64, 4, 32), 1),
+        ("bhtk,hkd->btd", (2, 4, 3, 32), (4, 32, 64), 2),
+        ("btd,df->btf", (2, 3, 64), (64, 96), 1),
+        ("btf,fd->btd", (2, 3, 96), (96, 64), 1),
+        ("bd,dv->bv", (2, 64), (64, 100), 1),
+    ]
+    for spec, xshape, wshape, ncon in cases:
+        x = jnp.asarray(rng.normal(0, 1, xshape), jnp.float32)
+        w = rng.normal(0, 0.05, wshape).astype(np.float32)
+        qw = quantize_tensor(w, ncon)
+        got = qw.einsum(spec, x)
+        want = jnp.einsum(spec, x, qw.dequant(jnp.float32))
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=3e-4, atol=3e-4,
+            err_msg=spec)
+
+
+def test_quantized_model_forward_close(rng):
+    params = init_params(CFG, jax.random.PRNGKey(0))
+    qparams = quantize_params(params)
+    tokens = jnp.asarray(rng.integers(0, CFG.vocab_size, (2, 24)),
+                         jnp.int32)
+    dense = forward(params, tokens, CFG).astype(jnp.float32)
+    quant = forward(qparams, tokens, CFG).astype(jnp.float32)
+    # int8 weights: logits drift bounded; greedy tokens mostly agree.
+    assert float(jnp.max(jnp.abs(dense - quant))) < 0.25
+    agree = float(jnp.mean(
+        (jnp.argmax(dense, -1) == jnp.argmax(quant, -1)).astype(
+            jnp.float32)))
+    assert agree >= 0.9, agree
+
+
+def test_quantized_engine_end_to_end(rng):
+    from flash_attention_tpu.runtime.engine import Engine, Request
+    params = init_params(CFG, jax.random.PRNGKey(0))
+    qparams = quantize_params(params)
+    prompt = list(rng.integers(0, CFG.vocab_size, 30))
+    eng = Engine(qparams, CFG, max_batch=2, num_pages=8, page_size=128)
+    (c,) = eng.run([Request(prompt=prompt, max_new_tokens=6)])
+    assert len(c.tokens) == 6
+
+
+def test_quantized_footprint_halves():
+    params = init_params(CFG, jax.random.PRNGKey(0))
+    qparams = quantize_params(params)
+
+    def matmul_bytes(tree):
+        total = 0
+        for leaf in jax.tree.leaves(
+                tree, is_leaf=lambda x: isinstance(x, QuantizedWeight)):
+            if isinstance(leaf, QuantizedWeight):
+                total += leaf.q.size  # int8
+            else:
+                total += leaf.size * leaf.dtype.itemsize
+        return total
+
+    dense_b = sum(
+        l.size * l.dtype.itemsize for layer in params["layers"]
+        for l in jax.tree.leaves(layer)) + params["lm_head"].size * 4
+    quant_b = 0
+    for layer in qparams["layers"]:
+        for leaf in layer.values():
+            quant_b += (leaf.q.size if isinstance(leaf, QuantizedWeight)
+                        else leaf.size * leaf.dtype.itemsize)
+    quant_b += qparams["lm_head"].q.size
+    # fp32 params -> int8: ~4x smaller on the matmul weights.
+    assert quant_b < 0.3 * dense_b
