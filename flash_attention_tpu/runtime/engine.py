@@ -60,6 +60,9 @@ class Request:
     max_new_tokens: int = 32
     temperature: float = 0.0          # 0 = greedy
     eos_id: int | None = None
+    n: int = 1                        # parallel completions: ONE prefill,
+                                      # n-1 allocator forks (pages shared,
+                                      # copy-on-write at flush boundaries)
     request_id: int = dataclasses.field(
         default_factory=lambda: next(_req_counter))
 
@@ -70,6 +73,7 @@ class Completion:
     prompt_len: int
     tokens: list                      # generated token ids
     finish_reason: str                # "stop" | "length"
+    branch: int = 0                   # which of the request's n samples
 
 
 @dataclasses.dataclass
@@ -82,6 +86,7 @@ class _Slot:
     next_token: int                   # fed into the next decode step
     generated: list
     worst_pages: int                  # admission reservation
+    branch: int = 0                   # fork index within the request
 
 
 @dataclasses.dataclass
@@ -188,24 +193,36 @@ class Engine:
         return sum(s is not None for s in self.slots)
 
     def _reserved_pages(self) -> int:
-        """Pages still owed to live sequences under worst-case growth."""
+        """Pages still owed to live sequences under worst-case growth:
+        each slot's growth budget (worst_pages, which for forked
+        branches already excludes the shared prompt pages) minus the
+        growth it has already materialized."""
         owed = 0
         for s in self.slots:
             if s is None:
                 continue
-            allocated = self.cache.pages_for(max(self.cache.length(s.seq_id), 1))
-            owed += max(0, s.worst_pages - allocated)
+            grown = (self.cache.pages_for(
+                max(self.cache.length(s.seq_id), 1))
+                - self.cache.pages_for(max(s.prompt_len, 1)))
+            budget = s.worst_pages - (
+                self.cache.pages_for(max(s.prompt_len, 1))
+                if s.branch == 0 else 0)
+            owed += max(0, budget - grown)
         return owed
 
     def _try_admit(self) -> list[Completion]:
-        """FIFO admission into free slots, reserving worst-case pages."""
+        """FIFO admission into free slots, reserving worst-case pages.
+        A request with n>1 prefills ONCE and forks the sequence n-1
+        times — branches share every prompt page (refcounted; data
+        copy-on-writes at the first shared-page flush)."""
         done = []
         while self.pending:
-            try:
-                slot_idx = self.slots.index(None)
-            except ValueError:
-                break
             req = self.pending[0]
+            n = max(1, req.n)
+            free_slots = [i for i, s in enumerate(self.slots)
+                          if s is None]
+            if len(free_slots) < n:
+                break
             prompt = np.asarray(req.prompt, np.int32)
             t = len(prompt)
             if t + req.max_new_tokens > self.max_seq_len:
@@ -214,7 +231,11 @@ class Engine:
                     f"{req.max_new_tokens} exceeds max_seq_len "
                     f"{self.max_seq_len}")
             worst = self.cache.pages_for(t + req.max_new_tokens)
-            if self.cache.free_pages - self._reserved_pages() < worst:
+            # Forked branches share the prompt pages; each extra branch
+            # needs only its generated pages plus one COW page.
+            branch_worst = (worst - self.cache.pages_for(max(t, 1))) + 1
+            need = worst + (n - 1) * branch_worst
+            if self.cache.free_pages - self._reserved_pages() < need:
                 break                       # wait for pages to free up
             self.pending.popleft()
 
@@ -225,19 +246,25 @@ class Engine:
             logits, ks, vs = self._prefill_fn(
                 self.params, jnp.asarray(padded), true_len=t)
             sid = self.cache.add_sequence(ks[:, 0, :, :t], vs[:, 0, :, :t])
-            first = self._sample_one(logits[0], req.temperature)
+            sids = [sid] + [self.cache.fork_sequence(sid)
+                            for _ in range(n - 1)]
             jax.block_until_ready(self.cache.k_pools)
             self.stats.prefill_s += time.perf_counter() - t0
             self.stats.prefill_tokens += t
 
-            slot = _Slot(request=req, seq_id=sid, prompt_len=t, length=t,
-                         tail=0, next_token=first, generated=[first],
-                         worst_pages=worst)
-            fin = self._maybe_finish(slot)
-            if fin is not None:
-                done.append(fin)
-            else:
-                self.slots[slot_idx] = slot
+            for branch, (slot_idx, bsid) in enumerate(
+                    zip(free_slots, sids)):
+                first = self._sample_one(logits[0], req.temperature)
+                slot = _Slot(request=req, seq_id=bsid, prompt_len=t,
+                             length=t, tail=0, next_token=first,
+                             generated=[first], branch=branch,
+                             worst_pages=worst if branch == 0
+                             else branch_worst)
+                fin = self._maybe_finish(slot)
+                if fin is not None:
+                    done.append(fin)
+                else:
+                    self.slots[slot_idx] = slot
         return done
 
     def _maybe_finish(self, slot: _Slot) -> Completion | None:
@@ -253,6 +280,7 @@ class Engine:
         return Completion(
             request_id=req.request_id, prompt_len=slot.prompt_len,
             tokens=list(slot.generated), finish_reason=reason,
+            branch=slot.branch,
         )
 
     # --- sampling ---------------------------------------------------------
@@ -362,4 +390,4 @@ class Engine:
         out = []
         while self.pending or self.num_active:
             out.extend(self.step())
-        return sorted(out, key=lambda c: c.request_id)
+        return sorted(out, key=lambda c: (c.request_id, c.branch))

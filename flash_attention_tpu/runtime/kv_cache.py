@@ -262,6 +262,14 @@ def _flush_layered_quant(k_pools, v_pools, k_scales, v_scales,
     return nk, nv, nks, nvs
 
 
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _copy_pages(pools, dst, src):
+    """Copy page data dst[i] <- src[i] in every layer (COW
+    materialization after allocator fork; dead entries are
+    scratch -> scratch)."""
+    return [p.at[:, dst].set(p[:, src]) for p in pools]
+
+
 @functools.partial(jax.jit, donate_argnums=(0, 1))
 def _flush_layered(k_pools, v_pools, k_tails, v_tails,
                    b_idx, t_idx, page_ids, offsets):
@@ -362,6 +370,26 @@ class LayeredPagedKVCache:
     def extend(self, seq_id: int, new_len: int) -> bool:
         return self.allocator.extend(seq_id, new_len)
 
+    def fork_sequence(self, seq_id: int) -> int:
+        """Fork: the new sequence shares every page (refcounted); page
+        DATA diverges lazily — flush_tails copies a shared boundary page
+        (copy-on-write) before writing into it."""
+        sid = self.allocator.fork(seq_id)
+        if sid < 0:
+            raise MemoryError("no sequence slot for fork")
+        return sid
+
+    def _cow_boundary(self, sid: int, start: int):
+        """Before a flush writes into the page containing `start`, give
+        the sequence an exclusive copy if that page is shared. Returns
+        (dst, src) page ids to copy, or None."""
+        if start == 0 or start % self.page_size == 0:
+            return None        # flush starts on a fresh (exclusive) page
+        page, copied_from = self.allocator.cow_last_page(sid)
+        if copied_from < 0:
+            return None
+        return page, copied_from
+
     def free_sequence(self, seq_id: int) -> None:
         self.allocator.free(seq_id)
 
@@ -429,10 +457,14 @@ class LayeredPagedKVCache:
         offs = np.zeros((b * t,), np.int32)
         b_idx = np.repeat(np.arange(b), t).astype(np.int32)
         t_idx = np.tile(np.arange(t), b).astype(np.int32)
+        cows = []
         for i, (sid, cnt) in enumerate(zip(slot_sids, counts)):
             if sid is None or sid < 0 or cnt == 0:
                 continue
             start = self.allocator.length(sid)
+            cow = self._cow_boundary(sid, start)
+            if cow is not None:
+                cows.append(cow)
             if not self.allocator.extend(sid, start + int(cnt)):
                 raise MemoryError("KV pool exhausted during tail flush")
             table, _ = self.allocator.page_table(
@@ -440,10 +472,22 @@ class LayeredPagedKVCache:
             pos = np.arange(start, start + int(cnt))
             pids[i * t: i * t + int(cnt)] = table[pos // self.page_size]
             offs[i * t: i * t + int(cnt)] = pos % self.page_size
+        self._apply_cows(cows)
         self.k_pools, self.v_pools = _flush_layered(
             self.k_pools, self.v_pools, self.k_tails, self.v_tails,
             jnp.asarray(b_idx), jnp.asarray(t_idx),
             jnp.asarray(pids), jnp.asarray(offs))
+
+    def _apply_cows(self, cows) -> None:
+        if not cows:
+            return
+        dst = jnp.asarray([c[0] for c in cows], jnp.int32)
+        src = jnp.asarray([c[1] for c in cows], jnp.int32)
+        self.k_pools = _copy_pages(self.k_pools, dst, src)
+        self.v_pools = _copy_pages(self.v_pools, dst, src)
+        if self.quant_dtype is not None:
+            self.k_scale_pools = _copy_pages(self.k_scale_pools, dst, src)
+            self.v_scale_pools = _copy_pages(self.v_scale_pools, dst, src)
 
     def _flush_tails_quant(self, slot_sids, counts) -> None:
         """Quantized flush: requantize every token-block the tail tokens
@@ -457,10 +501,14 @@ class LayeredPagedKVCache:
         s_rel = np.zeros((n,), np.int32)
         e_rel = np.zeros((n,), np.int32)
         tail_base = np.zeros((n,), np.int32)
+        cows = []
         for i, (sid, cnt) in enumerate(zip(slot_sids, counts)):
             if sid is None or sid < 0 or cnt == 0:
                 continue
             start = self.allocator.length(sid)
+            cow = self._cow_boundary(sid, start)
+            if cow is not None:
+                cows.append(cow)
             end = start + int(cnt)
             if not self.allocator.extend(sid, end):
                 raise MemoryError("KV pool exhausted during tail flush")
@@ -475,6 +523,7 @@ class LayeredPagedKVCache:
                 s_rel[nidx] = max(start - gs, 0)
                 e_rel[nidx] = min(end - gs, QUANT_BLOCK)
                 tail_base[nidx] = gs - start
+        self._apply_cows(cows)
         (self.k_pools, self.v_pools, self.k_scale_pools,
          self.v_scale_pools) = _flush_layered_quant(
             self.k_pools, self.v_pools,

@@ -167,3 +167,61 @@ def test_engine_chunked_decode_matches_greedy(params, rng):
     (c,) = eng2.run([Request(prompt=prompts[0], max_new_tokens=11,
                              eos_id=eos)])
     assert c.tokens == want[0][: want[0].index(eos) + 1]
+
+
+def test_cache_fork_cow_isolation(rng):
+    """Two forked sequences flush DIFFERENT tokens through a shared
+    boundary page; copy-on-write must isolate them."""
+    from flash_attention_tpu.runtime.kv_cache import LayeredPagedKVCache
+    L, HKV, D, T0 = 1, 2, 64, 100  # T0 not page-aligned: page 0 shared
+    cache = LayeredPagedKVCache(
+        n_layers=L, kv_heads=HKV, head_dim=D, num_pages=8,
+        page_size=PAGE, max_seqs=2, tail_size=8, dtype=jnp.float32)
+    base_k = rng.normal(0, 1, (L, HKV, T0, D)).astype(np.float32)
+    base_v = rng.normal(0, 1, (L, HKV, T0, D)).astype(np.float32)
+    a = cache.add_sequence(jnp.asarray(base_k), jnp.asarray(base_v))
+    b = cache.fork_sequence(a)
+    free_after_fork = cache.free_pages  # fork allocates nothing
+
+    # Write different tail tokens for a and b, flush both at once.
+    ka = rng.normal(0, 1, (HKV, 5, D)).astype(np.float32)
+    kb = rng.normal(0, 1, (HKV, 5, D)).astype(np.float32)
+    cache.k_tails[0] = cache.k_tails[0].at[0, :, :5, :].set(jnp.asarray(ka))
+    cache.k_tails[0] = cache.k_tails[0].at[1, :, :5, :].set(jnp.asarray(kb))
+    cache.v_tails[0] = cache.v_tails[0].at[0, :, :5, :].set(jnp.asarray(ka))
+    cache.v_tails[0] = cache.v_tails[0].at[1, :, :5, :].set(jnp.asarray(kb))
+    cache.flush_tails([a, b], [5, 5])
+    # COW consumed exactly one page (b's copy of the shared last page).
+    assert cache.free_pages == free_after_fork - 1
+
+    pool = np.asarray(cache.k_pools[0])
+    ta, _ = cache.allocator.page_table(a, 2)
+    tb2, _ = cache.allocator.page_table(b, 2)
+    assert ta[0] != tb2[0]  # diverged boundary page
+    # Both retain the shared prefix and carry their own tail tokens.
+    off = T0 % PAGE
+    np.testing.assert_allclose(pool[:, ta[0], :off], base_k[0, :, :off],
+                               rtol=0, atol=0)
+    np.testing.assert_allclose(pool[:, tb2[0], :off], base_k[0, :, :off],
+                               rtol=0, atol=0)
+    np.testing.assert_allclose(pool[:, ta[0], off:off + 5], ka,
+                               rtol=0, atol=0)
+    np.testing.assert_allclose(pool[:, tb2[0], off:off + 5], kb,
+                               rtol=0, atol=0)
+    cache.free_sequence(a)
+    cache.free_sequence(b)
+
+
+def test_engine_fork_n_greedy_branches_identical(params, rng):
+    """n=3 greedy branches must all equal the reference generation and
+    share prompt pages (cheaper than 3 independent admissions)."""
+    prompt = list(rng.integers(0, CFG.vocab_size, PAGE + 20))
+    want = ref_greedy(params, prompt, 9)
+    eng = make_engine(params, max_batch=4, num_pages=16, tail_size=4)
+    free0 = eng.cache.free_pages
+    comps = eng.run([Request(prompt=prompt, max_new_tokens=9, n=3)])
+    assert len(comps) == 3
+    assert sorted(c.branch for c in comps) == [0, 1, 2]
+    for c in comps:
+        assert c.tokens == want
+    assert eng.cache.free_pages == free0  # all pages reclaimed

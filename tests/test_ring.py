@@ -146,3 +146,44 @@ def test_ring_attention_jit_compiles_with_sharding(rng):
     assert verify(out, ref).passed
     # Output keeps the sequence sharding.
     assert out.sharding.spec == P(None, None, "sp", None)
+
+
+def test_ring_attention_inside_model_training(rng):
+    """Long-context training e2e: the model's attention runs ring
+    attention over an sp mesh (differentiable custom-VJP path); the
+    loss and gradient must match single-device training."""
+    import optax
+    from flash_attention_tpu.models.llama import (
+        LlamaConfig, init_params, loss_fn,
+    )
+
+    n_dev = len(jax.devices())
+    mesh = make_mesh(sp=n_dev)
+    cfg = LlamaConfig.tiny(dtype=jnp.float32)
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    seq = 128 * n_dev
+    tokens = jnp.asarray(
+        np.random.default_rng(5).integers(0, cfg.vocab_size,
+                                          (1, seq + 1)), jnp.int32)
+
+    ring = make_ring_attention(mesh, causal=True, block_sizes=BLOCKS)
+
+    def ring_loss(params):
+        from flash_attention_tpu.models.llama import forward
+        logits = forward(params, tokens[:, :-1], cfg, attn_impl=ring)
+        targets = tokens[:, 1:]
+        logits = logits.astype(jnp.float32)
+        logz = jax.nn.logsumexp(logits, axis=-1)
+        gold = jnp.take_along_axis(
+            logits, targets[..., None], axis=-1)[..., 0]
+        return jnp.mean(logz - gold)
+
+    def base_loss(params):
+        return loss_fn(params, tokens, cfg)
+
+    lr, gr = jax.value_and_grad(ring_loss)(params)
+    lb, gb = jax.value_and_grad(base_loss)(params)
+    np.testing.assert_allclose(float(lr), float(lb), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(gr), jax.tree.leaves(gb)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-6)
