@@ -325,7 +325,12 @@ def cmd_decode_bench(args):
         bm, ctxm = args.model_batch, args.model_context
         mp = -(-ctxm // ps)
         npg = max(bm * mp, 1) + 1
+        kv_q = args.model_kv == "int8"
+        pool_dtype = jnp.int8 if kv_q else jnp.bfloat16
         pool_shape = (cfg.n_kv_heads, npg, ps, cfg.head_dim)
+        from flash_attention_tpu.ops.quant import QUANT_BLOCK
+        scale_shape = (cfg.n_kv_heads, npg, ps // QUANT_BLOCK,
+                       cfg.head_dim)
         tail = max(args.model_steps + 1, 128)
         tail_shape = (bm, cfg.n_kv_heads, tail, cfg.head_dim)
         tbl = jnp.asarray(1 + np.arange(bm * mp).reshape(bm, mp), jnp.int32)
@@ -337,12 +342,13 @@ def cmd_decode_bench(args):
         paged_lens = jnp.full((bm,), ctxm - steps - 1, jnp.int32)
 
         @functools.partial(jax.jit, donate_argnums=(3, 4))
-        def run(params, kp, vp, kt, vt, tok0):
+        def run(params, kp, vp, kt, vt, tok0, ksc, vsc):
             def body(carry, tpos):
                 tok, kt, vt = carry
                 logits, kt, vt = decode_step_paged(
                     params, tok, cfg, kp, vp, kt, vt, tbl, paged_lens,
-                    jnp.full((bm,), tpos, jnp.int32))
+                    jnp.full((bm,), tpos, jnp.int32),
+                    k_scales=ksc, v_scales=vsc)
                 nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
                 return (nxt, kt, vt), nxt
             (tok, kt, vt), toks = jax.lax.scan(
@@ -356,12 +362,19 @@ def cmd_decode_bench(args):
                      for _ in range(cfg.n_layers)])
 
         tok0 = jnp.zeros((bm,), jnp.int32)
-        kp = [jnp.zeros(pool_shape, jnp.bfloat16)
+        kp = [jnp.zeros(pool_shape, pool_dtype)
               for _ in range(cfg.n_layers)]
-        vp = [jnp.zeros(pool_shape, jnp.bfloat16)
+        vp = [jnp.zeros(pool_shape, pool_dtype)
               for _ in range(cfg.n_layers)]
+        if kv_q:
+            ksc = [jnp.full(scale_shape, 1e-3, jnp.float32)
+                   for _ in range(cfg.n_layers)]
+            vsc = [jnp.full(scale_shape, 1e-3, jnp.float32)
+                   for _ in range(cfg.n_layers)]
+        else:
+            ksc = vsc = None
         kt, vt = fresh_tails()
-        toks, kt2, vt2 = run(params, kp, vp, kt, vt, tok0)  # compile+warm
+        toks, kt2, vt2 = run(params, kp, vp, kt, vt, tok0, ksc, vsc)
         jax.block_until_ready(toks)
         del kt2, vt2
         times = []
@@ -369,18 +382,20 @@ def cmd_decode_bench(args):
             kt, vt = fresh_tails()
             jax.block_until_ready((kt, vt))
             t0 = time.perf_counter()
-            toks, kt, vt = run(params, kp, vp, kt, vt, tok0)
+            toks, kt, vt = run(params, kp, vp, kt, vt, tok0, ksc, vsc)
             jax.block_until_ready(toks)
             times.append(time.perf_counter() - t0)
         best = min(times)
         n_params = sum(x.size for x in jax.tree.leaves(params))
         p_gb = sum(x.size * x.dtype.itemsize
                    for x in jax.tree.leaves(params)) / 1e9
-        kv_gb = 2 * cfg.n_layers * np.prod(pool_shape) * 2 / 1e9
+        kv_gb = (2 * cfg.n_layers * np.prod(pool_shape)
+                 * jnp.dtype(pool_dtype).itemsize / 1e9)
         wq = f" weights={args.weight_quant}" if args.weight_quant else ""
+        kvq_s = f" kv={args.model_kv}" if kv_q else ""
         print(f"model decode ({args.model}, {n_params / 1e9:.2f}B params "
-              f"= {p_gb:.1f} GB{wq}, {kv_gb:.1f} GB KV pools): batch={bm} "
-              f"context~{ctxm} steps={steps}")
+              f"= {p_gb:.1f} GB{wq}, {kv_gb:.1f} GB KV pools{kvq_s}): "
+              f"batch={bm} context~{ctxm} steps={steps}")
         print(f"  {best / steps * 1e3:8.3f} ms/step  "
               f"{bm * steps / best:8.0f} tok/s/chip")
     return 0
@@ -558,6 +573,8 @@ def main(argv=None):
     pd.add_argument("--model-context", type=int, default=2048)
     pd.add_argument("--model-steps", type=int, default=32)
     pd.add_argument("--weight-quant", default=None,
+                    choices=[None, "int8"])
+    pd.add_argument("--model-kv", default=None,
                     choices=[None, "int8"])
     pd.add_argument("--warmup", type=int, default=3)
     pd.add_argument("--iters", type=int, default=10)
