@@ -27,10 +27,15 @@ LANES = 128
 # Sublane granule for fp32; bf16 wants 16, int8/fp8 want 32.
 SUBLANES = {4: 8, 2: 16, 1: 32}
 
-# Conservative per-core VMEM budget (bytes). Real v5e/v5p cores have
-# ~16 MB; leave headroom for the pipeline's double buffers and compiler
-# scratch, mirroring the reference's 160 KB opt-in smem cap role.
-DEFAULT_VMEM_BUDGET = 12 * 1024 * 1024
+# Per-core VMEM budget (bytes) for the block-size search, and the
+# scoped-VMEM limit requested from Mosaic. v5e exposes 128 MB of VMEM;
+# the Mosaic default limit (~16-32 MB) leaves 2048-wide score tiles on
+# the table — raising it measured +6% at the flagship config
+# ((2048,2048) 157 TFLOP/s vs (1024,1024) 149). Budget < limit leaves
+# headroom for the pipeline's double buffers and compiler scratch
+# (mirroring the reference's 160 KB opt-in smem cap role).
+DEFAULT_VMEM_BUDGET = 64 * 1024 * 1024
+VMEM_LIMIT_BYTES = 100 * 1024 * 1024
 
 SUPPORTED_HEAD_DIMS = (32, 64, 128, 256)
 
@@ -104,8 +109,9 @@ def select_block_sizes(
     head_dim: int,
     *,
     dtype=jnp.bfloat16,
+    causal: bool = False,
     vmem_budget: int = DEFAULT_VMEM_BUDGET,
-    candidates=(1024, 512, 256, 128),
+    candidates=(2048, 1024, 512, 256, 128),
 ) -> BlockSizes:
     """Pick the largest aligned (block_q, block_kv) fitting the budget.
 
@@ -116,12 +122,17 @@ def select_block_sizes(
     from the reference's small-tile config — VMEM is big enough that the
     occupancy argument for small tiles does not apply on TPU.
 
-    Measured on TPU v5e at (1,32,8192,128) bf16: (1024,1024) hits
-    107 TFLOP/s (95% of the chip's dense-matmul rate), (512,1024) 104,
-    (512,512) 66, (256,256) 32; 2048-wide tiles exceed the 16 MB VMEM
-    scoped limit. The 1024-candidate-first ordering encodes that result.
+    Measured on TPU v5e at (1,32,8192,128) bf16 (exp2-folded kernel,
+    100 MB scoped VMEM): (2048,2048) 157 TFLOP/s, (1024,2048) 154,
+    (1024,1024) 147, (512,512) 66, (256,256) 32. The 2048-first
+    candidate ordering encodes that result.
     """
     in_bytes = jnp.dtype(dtype).itemsize
+    if causal:
+        # Block-granular causal skipping wastes ~block/2 of the diagonal
+        # block's work; 2048-wide tiles measurably lose (115 TFLOP/s at
+        # (1024,1024) vs 97 at (2048,2048), flagship causal config).
+        candidates = tuple(c for c in candidates if c <= 1024) or candidates
     for bq in candidates:
         for bk in candidates:
             if bk < bq:
@@ -135,8 +146,12 @@ def select_block_sizes(
     else:
         fwd = (LANES, LANES)
 
-    for bq in candidates:
-        for bk in candidates:
+    # Backward works best one size smaller: its working set per tile is
+    # ~2.5x the forward's (s AND ds tiles, two accumulators), so 2048
+    # blocks starve the pipeline (measured 99 vs 104 TFLOP/s fused step).
+    bwd_candidates = tuple(c for c in candidates if c <= 1024) or candidates
+    for bq in bwd_candidates:
+        for bk in bwd_candidates:
             if _bwd_footprint_bytes(bq, bk, head_dim, in_bytes) <= vmem_budget:
                 bwd = (bq, bk)
                 break
@@ -155,7 +170,8 @@ def select_block_sizes(
 
 @functools.cache
 def default_block_sizes(seq_q: int, seq_kv: int, head_dim: int,
-                        dtype_name: str = "bfloat16") -> BlockSizes:
+                        dtype_name: str = "bfloat16",
+                        causal: bool = False) -> BlockSizes:
     """Cached head-dim dispatch (role of `flash_attn_unified.cu:545-599`'s
     runtime switch over template instantiations — here the 'instantiation'
     is a traced Pallas kernel specialization, cached by XLA)."""
@@ -164,7 +180,7 @@ def default_block_sizes(seq_q: int, seq_kv: int, head_dim: int,
             f"head_dim {head_dim} not in supported set {SUPPORTED_HEAD_DIMS}"
         )
     return select_block_sizes(
-        seq_q, seq_kv, head_dim, dtype=jnp.dtype(dtype_name)
+        seq_q, seq_kv, head_dim, dtype=jnp.dtype(dtype_name), causal=causal
     )
 
 

@@ -78,7 +78,9 @@ def _mxu_precision(dtype):
 
 
 def _dimension_semantics(*sems):
-    return pltpu.CompilerParams(dimension_semantics=sems)
+    from flash_attention_tpu.config import VMEM_LIMIT_BYTES
+    return pltpu.CompilerParams(
+        dimension_semantics=sems, vmem_limit_bytes=VMEM_LIMIT_BYTES)
 
 
 def _below_or_on_diag(i, block_q, j, block_kv, offset):
@@ -252,7 +254,8 @@ def flash_attention_fwd(
     if interpret is None:
         interpret = interpret_default()
     if block_sizes is None:
-        block_sizes = default_block_sizes(nq, nk, d, jnp.dtype(q.dtype).name)
+        block_sizes = default_block_sizes(
+            nq, nk, d, jnp.dtype(q.dtype).name, causal)
     block_q = min(block_sizes.block_q, round_up(nq, LANES))
     block_kv = min(block_sizes.block_kv, round_up(nk, LANES))
 
@@ -500,7 +503,8 @@ def flash_attention_bwd(
     if interpret is None:
         interpret = interpret_default()
     if block_sizes is None:
-        block_sizes = default_block_sizes(nq, nk, d, jnp.dtype(q.dtype).name)
+        block_sizes = default_block_sizes(
+            nq, nk, d, jnp.dtype(q.dtype).name, causal)
     block_q = min(block_sizes.block_q_dkv, round_up(nq, LANES))
     block_kv = min(block_sizes.block_kv_dkv, round_up(nk, LANES))
 

@@ -46,7 +46,11 @@ from flash_attention_tpu.config import (
     interpret_default,
     round_up,
 )
-from flash_attention_tpu.ops.flash import MASK_VALUE, _mxu_precision
+from flash_attention_tpu.ops.flash import (
+    MASK_VALUE,
+    _dimension_semantics,
+    _mxu_precision,
+)
 
 __all__ = [
     "fa1_tile_sizes",
@@ -196,10 +200,8 @@ def flash_attention_fa1(q, k, v, *, scale=None, block_sizes=None,
             pltpu.VMEM((block_q, LANES), jnp.float32),
             pltpu.VMEM((block_q, d), jnp.float32),
         ],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "parallel",
-                                 "arbitrary"),
-        ),
+        compiler_params=_dimension_semantics(
+            "parallel", "parallel", "parallel", "arbitrary"),
         interpret=interpret,
     )(q, k, v)
     return o[:, :, :nq], m[:, :, :nq], l[:, :, :nq]
@@ -329,10 +331,8 @@ def flash_attention_fa2_inloop(q, k, v, *, causal=False, scale=None,
             pltpu.VMEM((block_q, LANES), jnp.float32),
             pltpu.VMEM((block_q, d), jnp.float32),
         ],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "parallel",
-                                 "arbitrary"),
-        ),
+        compiler_params=_dimension_semantics(
+            "parallel", "parallel", "parallel", "arbitrary"),
         interpret=interpret,
     )(q, k, v)
 
@@ -436,9 +436,7 @@ def naive_attention_pallas(q, k, v, *, scale=None, block_sizes=None,
             pltpu.VMEM((block_q, LANES), jnp.float32),
             pltpu.VMEM((block_q, d), jnp.float32),
         ],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "parallel",
-                                 "arbitrary"),
-        ),
+        compiler_params=_dimension_semantics(
+            "parallel", "parallel", "parallel", "arbitrary"),
         interpret=interpret,
     )(q, k, v)
