@@ -89,20 +89,49 @@ def _below_or_on_diag(i, block_q, j, block_kv, offset):
     return (i + 1) * block_q - 1 + offset >= j * block_kv
 
 
+def _within_window(i, block_q, j, block_kv, offset, window):
+    """True iff q block i has at least one visible pair against kv block
+    j under the sliding window `col > row + offset - window` (blocks
+    entirely older than the window skip, causal skip handles newer)."""
+    return (j + 1) * block_kv - 1 > i * block_q + offset - window
+
+
+def _block_runs(i, j, *, block_q, block_kv, causal, offset, window):
+    run = (
+        _below_or_on_diag(i, block_q, j, block_kv, offset)
+        if causal else True
+    )
+    if window is not None:
+        run = jnp.logical_and(
+            run, _within_window(i, block_q, j, block_kv, offset, window))
+    return run
+
+
+def _first_window_block(i, block_q, offset, window, block_kv):
+    """Oldest kv block with any visible column for q block i."""
+    oldest_col = i * block_q + offset - window + 1
+    return jnp.maximum(oldest_col, 0) // block_kv
+
+
 def _mask_block(s, i, j, *, block_q, block_kv, causal, offset,
-                q_len, kv_len, q_padded, kv_padded):
-    """Apply causal and padding masks to a score tile s[block_q, block_kv]
-    at grid position (q block i, kv block j). Static config decides which
-    masks are materialized; dynamic i/j drive the iota comparison."""
+                q_len, kv_len, q_padded, kv_padded, window=None):
+    """Apply causal/sliding-window and padding masks to a score tile
+    s[block_q, block_kv] at grid position (q block i, kv block j).
+    Static config decides which masks are materialized; dynamic i/j
+    drive the iota comparison."""
     need_row = q_padded
     need_col = kv_padded
-    if not (causal or need_row or need_col):
+    if not (causal or need_row or need_col or window is not None):
         return s
     row = lax.broadcasted_iota(jnp.int32, s.shape, 0) + i * block_q
     col = lax.broadcasted_iota(jnp.int32, s.shape, 1) + j * block_kv
     bad = jnp.zeros(s.shape, jnp.bool_)
     if causal:
         bad = jnp.logical_or(bad, col > row + offset)
+    if window is not None:
+        # Sliding window: only the most recent `window` positions
+        # (inclusive of the diagonal) are visible.
+        bad = jnp.logical_or(bad, col <= row + offset - window)
     if need_col:
         bad = jnp.logical_or(bad, col >= kv_len)
     if need_row:
@@ -129,7 +158,7 @@ def _dequant_tile(val_ref, scale_ref, out_dtype):
 
 def _fwd_kernel(q_ref, k_ref, v_ref, *rest, scale, causal, offset, block_q,
                 block_kv, num_kv_blocks, q_len, kv_len, q_padded, kv_padded,
-                precision, quantized=False, compute_dtype=None):
+                precision, window=None, quantized=False, compute_dtype=None):
     if quantized:
         kscale_ref, vscale_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr = rest
     else:
@@ -142,9 +171,9 @@ def _fwd_kernel(q_ref, k_ref, v_ref, *rest, scale, causal, offset, block_q,
         l_scr[...] = jnp.zeros_like(l_scr)
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
-    should_run = (
-        _below_or_on_diag(i, block_q, j, block_kv, offset) if causal else True
-    )
+    should_run = _block_runs(
+        i, j, block_q=block_q, block_kv=block_kv, causal=causal,
+        offset=offset, window=window)
 
     @pl.when(should_run)
     def _compute():
@@ -164,7 +193,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, *rest, scale, causal, offset, block_q,
         s = _mask_block(
             s, i, j, block_q=block_q, block_kv=block_kv, causal=causal,
             offset=offset, q_len=q_len, kv_len=kv_len,
-            q_padded=q_padded, kv_padded=kv_padded,
+            q_padded=q_padded, kv_padded=kv_padded, window=window,
         )
 
         c = scale * LOG2E
@@ -211,12 +240,13 @@ def _fwd_cost(batch, hq, nq, nk, d, causal, itemsize):
     jax.jit,
     static_argnames=(
         "causal", "scale", "block_sizes", "interpret", "debug", "offset",
-        "save_residuals",
+        "save_residuals", "window",
     ),
 )
 def flash_attention_fwd(
     q, k, v, *, causal=False, scale=None, block_sizes=None,
-    offset=None, interpret=None, debug=False, save_residuals=True,
+    offset=None, window=None, interpret=None, debug=False,
+    save_residuals=True,
 ):
     """Forward flash attention. Returns (o, lse) where lse is the fp32
     log-sum-exp per row, lane-replicated as [B, Hq, Nq, 128] (TPU-friendly
@@ -251,6 +281,11 @@ def flash_attention_fwd(
         offset = nk - nq
     if causal and offset < 0:
         raise ValueError("causal attention requires Nq <= Nk (offset >= 0)")
+    if window is not None:
+        if not causal:
+            raise ValueError("sliding window requires causal=True")
+        if window < 1:
+            raise ValueError("window must be >= 1")
     if interpret is None:
         interpret = interpret_default()
     if block_sizes is None:
@@ -285,12 +320,17 @@ def flash_attention_fwd(
         return (b, h, i, 0)
 
     def kv_index(b, h, i, j):
+        # Prefetch trick: a skipped block DMAs a block that WILL run
+        # instead of dead data (any in-range index is correct; the
+        # kernel's should_run gate decides what computes).
+        jmin = (_first_window_block(i, block_q, offset, window, block_kv)
+                if window is not None else 0)
         if causal:
-            # Prefetch trick: a skipped block DMAs the block needed next
-            # (kv block 0 of the next q row) instead of dead data.
             j = lax.select(
-                _below_or_on_diag(i, block_q, j, block_kv, offset), j, 0
+                _below_or_on_diag(i, block_q, j, block_kv, offset), j, jmin
             )
+        if window is not None:
+            j = jnp.maximum(j, jmin)
         return (b, h // group, j, 0)
 
     kernel = functools.partial(
@@ -298,7 +338,7 @@ def flash_attention_fwd(
         scale=scale, causal=causal, offset=offset,
         block_q=block_q, block_kv=block_kv, num_kv_blocks=num_kv_blocks,
         q_len=nq, kv_len=nk, q_padded=q_padded, kv_padded=kv_padded,
-        precision=_mxu_precision(q.dtype),
+        precision=_mxu_precision(q.dtype), window=window,
         quantized=quantized, compute_dtype=q.dtype,
     )
 
@@ -371,16 +411,16 @@ def flash_attention_fwd(
 def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
                    dq_scr, *, scale, causal, offset, block_q, block_kv,
                    num_kv_blocks, q_len, kv_len, q_padded, kv_padded,
-                   precision):
+                   precision, window=None):
     i, j = pl.program_id(2), pl.program_id(3)
 
     @pl.when(j == 0)
     def _init():
         dq_scr[...] = jnp.zeros_like(dq_scr)
 
-    should_run = (
-        _below_or_on_diag(i, block_q, j, block_kv, offset) if causal else True
-    )
+    should_run = _block_runs(
+        i, j, block_q=block_q, block_kv=block_kv, causal=causal,
+        offset=offset, window=window)
 
     @pl.when(should_run)
     def _compute():
@@ -399,7 +439,7 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
         s = _mask_block(
             s, i, j, block_q=block_q, block_kv=block_kv, causal=causal,
             offset=offset, q_len=q_len, kv_len=kv_len,
-            q_padded=q_padded, kv_padded=kv_padded,
+            q_padded=q_padded, kv_padded=kv_padded, window=window,
         )
         p = jnp.exp2(s * (scale * LOG2E) - (lse[:, :1] * LOG2E))
         dp = lax.dot_general(
@@ -421,7 +461,7 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
                     dk_ref, dv_ref, dk_scr, dv_scr,
                     *, scale, causal, offset, block_q, block_kv,
                     num_q_blocks, num_inner, q_len, kv_len,
-                    q_padded, kv_padded, precision):
+                    q_padded, kv_padded, precision, window=None):
     jk, inner = pl.program_id(2), pl.program_id(3)
     iq = inner % num_q_blocks
 
@@ -430,9 +470,9 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         dk_scr[...] = jnp.zeros_like(dk_scr)
         dv_scr[...] = jnp.zeros_like(dv_scr)
 
-    should_run = (
-        _below_or_on_diag(iq, block_q, jk, block_kv, offset) if causal else True
-    )
+    should_run = _block_runs(
+        iq, jk, block_q=block_q, block_kv=block_kv, causal=causal,
+        offset=offset, window=window)
 
     @pl.when(should_run)
     def _compute():
@@ -449,7 +489,7 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         s = _mask_block(
             s, iq, jk, block_q=block_q, block_kv=block_kv, causal=causal,
             offset=offset, q_len=q_len, kv_len=kv_len,
-            q_padded=q_padded, kv_padded=kv_padded,
+            q_padded=q_padded, kv_padded=kv_padded, window=window,
         )
         # Scale folded into exp2 (see LOG2E note).
         p = jnp.exp2(s * (scale * LOG2E) - (lse[:, :1] * LOG2E))  # [bq, bk]
@@ -481,11 +521,12 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     jax.jit,
     static_argnames=(
         "causal", "scale", "block_sizes", "interpret", "debug", "offset",
+        "window",
     ),
 )
 def flash_attention_bwd(
     q, k, v, o, lse, do, *, causal=False, scale=None, block_sizes=None,
-    offset=None, interpret=None, debug=False,
+    offset=None, window=None, interpret=None, debug=False,
 ):
     """Recompute backward: returns (dq, dk, dv).
 
@@ -536,7 +577,7 @@ def flash_attention_bwd(
         scale=scale, causal=causal, offset=offset,
         block_q=block_q, block_kv=block_kv,
         q_len=nq, kv_len=nk, q_padded=q_padded, kv_padded=kv_padded,
-        precision=_mxu_precision(q.dtype),
+        precision=_mxu_precision(q.dtype), window=window,
     )
 
     # --- dQ: grid over q blocks, sweep kv blocks sequentially.
@@ -544,10 +585,14 @@ def flash_attention_bwd(
         return (b, h, i, 0)
 
     def kv_index_dq(b, h, i, j):
+        jmin = (_first_window_block(i, block_q, offset, window, block_kv)
+                if window is not None else 0)
         if causal:
             j = lax.select(
-                _below_or_on_diag(i, block_q, j, block_kv, offset), j, 0
+                _below_or_on_diag(i, block_q, j, block_kv, offset), j, jmin
             )
+        if window is not None:
+            j = jnp.maximum(j, jmin)
         return (b, h // group, j, 0)
 
     dq = pl.pallas_call(
@@ -581,6 +626,12 @@ def flash_attention_bwd(
         # Smallest q block index attending kv block jk under causal mask.
         return jnp.maximum(jk * block_kv - offset, 0) // block_q
 
+    def last_window_iq(jk):
+        # Newest q block with any row still inside the window for jk:
+        # visibility needs row < col - offset + window.
+        newest_row = (jk + 1) * block_kv - offset + window - 2
+        return jnp.maximum(newest_row, 0) // block_q
+
     def q_index_dkv(b, hk, jk, inner):
         g = inner // num_q_blocks
         iq = inner % num_q_blocks
@@ -589,6 +640,8 @@ def flash_attention_bwd(
                 _below_or_on_diag(iq, block_q, jk, block_kv, offset),
                 iq, first_valid_iq(jk),
             )
+        if window is not None:
+            iq = jnp.minimum(iq, last_window_iq(jk))
         return (b, hk * group + g, iq, 0)
 
     def kv_index_dkv(b, hk, jk, inner):
@@ -641,31 +694,34 @@ def flash_attention_bwd(
 
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7)
+    jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8)
 )
-def _flash_attention(q, k, v, causal, scale, block_sizes, offset, interpret):
+def _flash_attention(q, k, v, causal, scale, block_sizes, offset, window,
+                     interpret):
     o, _ = flash_attention_fwd(
         q, k, v, causal=causal, scale=scale, block_sizes=block_sizes,
-        offset=offset, interpret=interpret, save_residuals=False,
+        offset=offset, window=window, interpret=interpret,
+        save_residuals=False,
     )
     return o
 
 
 def _flash_attention_vjp_fwd(q, k, v, causal, scale, block_sizes, offset,
-                             interpret):
+                             window, interpret):
     o, lse = flash_attention_fwd(
         q, k, v, causal=causal, scale=scale, block_sizes=block_sizes,
-        offset=offset, interpret=interpret,
+        offset=offset, window=window, interpret=interpret,
     )
     return o, (q, k, v, o, lse)
 
 
-def _flash_attention_vjp_bwd(causal, scale, block_sizes, offset, interpret,
-                             residuals, do):
+def _flash_attention_vjp_bwd(causal, scale, block_sizes, offset, window,
+                             interpret, residuals, do):
     q, k, v, o, lse = residuals
     dq, dk, dv = flash_attention_bwd(
         q, k, v, o, lse, do, causal=causal, scale=scale,
-        block_sizes=block_sizes, offset=offset, interpret=interpret,
+        block_sizes=block_sizes, offset=offset, window=window,
+        interpret=interpret,
     )
     return dq, dk, dv
 
@@ -676,7 +732,7 @@ _flash_attention.defvjp(_flash_attention_vjp_fwd, _flash_attention_vjp_bwd)
 def flash_attention(
     q, k, v, *, causal: bool = False, scale: float | None = None,
     block_sizes: BlockSizes | None = None, offset: int | None = None,
-    interpret: bool | None = None,
+    window: int | None = None, interpret: bool | None = None,
 ):
     """Differentiable flash attention (public API).
 
@@ -692,10 +748,14 @@ def flash_attention(
         kv_len - q_len so the last q row sees the full kv prefix).
       scale: softmax scale, default 1/sqrt(head_dim).
       block_sizes: tile override; default from the VMEM-budget autotuner.
+      window: sliding-window size (requires causal): position i attends
+        positions (i+offset-window, i+offset] — the Mistral/Gemma local
+        attention pattern; fully-out-of-window blocks skip compute AND
+        their DMA (index-map redirect).
       interpret: force Pallas interpreter mode (defaults to True off-TPU).
     """
     return _flash_attention(
-        q, k, v, causal, scale, block_sizes, offset, interpret
+        q, k, v, causal, scale, block_sizes, offset, window, interpret
     )
 
 

@@ -33,8 +33,10 @@ def _expand_kv_heads(k, num_q_heads: int):
     return jnp.repeat(k, num_q_heads // num_kv_heads, axis=1)
 
 
-@functools.partial(jax.jit, static_argnames=("causal", "scale"))
-def attention_reference(q, k, v, *, causal: bool = False, scale: float | None = None):
+@functools.partial(jax.jit, static_argnames=("causal", "scale", "window"))
+def attention_reference(q, k, v, *, causal: bool = False,
+                        scale: float | None = None,
+                        window: int | None = None):
     """Exact attention in fp32, one-shot softmax.
 
     Args:
@@ -61,6 +63,8 @@ def attention_reference(q, k, v, *, causal: bool = False, scale: float | None = 
         row = jax.lax.broadcasted_iota(jnp.int32, (nq, nk), 0)
         col = jax.lax.broadcasted_iota(jnp.int32, (nq, nk), 1)
         s = jnp.where(col > row + offset, -jnp.inf, s)
+        if window is not None:
+            s = jnp.where(col <= row + offset - window, -jnp.inf, s)
     p = jax.nn.softmax(s, axis=-1)
     o = _einsum("bhqk,bhkd->bhqd", p, vf)
     return o.astype(orig_dtype)
