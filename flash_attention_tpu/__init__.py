@@ -21,7 +21,11 @@ Layering (bottom-up):
 """
 
 from flash_attention_tpu.ops.reference import attention_reference, attention_baseline
-from flash_attention_tpu.ops.flash import flash_attention, flash_attention_quantized
+from flash_attention_tpu.ops.flash import (
+    SegmentIds,
+    flash_attention,
+    flash_attention_quantized,
+)
 from flash_attention_tpu.ops.quant import QuantizedTensor, dequantize_kv, quantize_kv
 from flash_attention_tpu.config import BlockSizes, select_block_sizes
 
@@ -32,6 +36,7 @@ __all__ = [
     "attention_baseline",
     "flash_attention",
     "flash_attention_quantized",
+    "SegmentIds",
     "QuantizedTensor",
     "quantize_kv",
     "dequantize_kv",

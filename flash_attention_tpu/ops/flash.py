@@ -107,6 +107,25 @@ def _block_runs(i, j, *, block_q, block_kv, causal, offset, window):
     return run
 
 
+@jax.tree_util.register_pytree_node_class
+class SegmentIds:
+    """Packed-sequence segment ids: q [B, Nq] int32, kv [B, Nk] int32.
+    Attention is masked wherever q and kv segment ids differ — multiple
+    documents pack into one sequence without cross-attention (standard
+    production-training input pipeline; no reference counterpart)."""
+
+    def __init__(self, q, kv):
+        self.q = q
+        self.kv = kv
+
+    def tree_flatten(self):
+        return (self.q, self.kv), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
 def _first_window_block(i, block_q, offset, window, block_kv):
     """Oldest kv block with any visible column for q block i."""
     oldest_col = i * block_q + offset - window + 1
@@ -114,14 +133,18 @@ def _first_window_block(i, block_q, offset, window, block_kv):
 
 
 def _mask_block(s, i, j, *, block_q, block_kv, causal, offset,
-                q_len, kv_len, q_padded, kv_padded, window=None):
-    """Apply causal/sliding-window and padding masks to a score tile
-    s[block_q, block_kv] at grid position (q block i, kv block j).
-    Static config decides which masks are materialized; dynamic i/j
-    drive the iota comparison."""
+                q_len, kv_len, q_padded, kv_padded, window=None,
+                qseg=None, kvseg=None):
+    """Apply causal/sliding-window, segment, and padding masks to a
+    score tile s[block_q, block_kv] at grid position (q block i,
+    kv block j). Static config decides which masks are materialized;
+    dynamic i/j drive the iota comparison. qseg: [block_q, 1] int32;
+    kvseg: [1, block_kv] int32 (layouts chosen so the comparison
+    broadcasts with no cross-lane transpose)."""
     need_row = q_padded
     need_col = kv_padded
-    if not (causal or need_row or need_col or window is not None):
+    if not (causal or need_row or need_col or window is not None
+            or qseg is not None):
         return s
     row = lax.broadcasted_iota(jnp.int32, s.shape, 0) + i * block_q
     col = lax.broadcasted_iota(jnp.int32, s.shape, 1) + j * block_kv
@@ -132,6 +155,8 @@ def _mask_block(s, i, j, *, block_q, block_kv, causal, offset,
         # Sliding window: only the most recent `window` positions
         # (inclusive of the diagonal) are visible.
         bad = jnp.logical_or(bad, col <= row + offset - window)
+    if qseg is not None:
+        bad = jnp.logical_or(bad, qseg != kvseg)
     if need_col:
         bad = jnp.logical_or(bad, col >= kv_len)
     if need_row:
@@ -158,11 +183,14 @@ def _dequant_tile(val_ref, scale_ref, out_dtype):
 
 def _fwd_kernel(q_ref, k_ref, v_ref, *rest, scale, causal, offset, block_q,
                 block_kv, num_kv_blocks, q_len, kv_len, q_padded, kv_padded,
-                precision, window=None, quantized=False, compute_dtype=None):
+                precision, window=None, segmented=False, quantized=False,
+                compute_dtype=None):
+    rest = list(rest)
     if quantized:
-        kscale_ref, vscale_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr = rest
-    else:
-        o_ref, lse_ref, m_scr, l_scr, acc_scr = rest
+        kscale_ref, vscale_ref = rest.pop(0), rest.pop(0)
+    if segmented:
+        qseg_ref, kvseg_ref = rest.pop(0), rest.pop(0)
+    o_ref, lse_ref, m_scr, l_scr, acc_scr = rest
     i, j = pl.program_id(2), pl.program_id(3)
 
     @pl.when(j == 0)
@@ -194,6 +222,8 @@ def _fwd_kernel(q_ref, k_ref, v_ref, *rest, scale, causal, offset, block_q,
             s, i, j, block_q=block_q, block_kv=block_kv, causal=causal,
             offset=offset, q_len=q_len, kv_len=kv_len,
             q_padded=q_padded, kv_padded=kv_padded, window=window,
+            qseg=qseg_ref[0][:, :1] if segmented else None,
+            kvseg=kvseg_ref[...] if segmented else None,
         )
 
         c = scale * LOG2E
@@ -244,9 +274,9 @@ def _fwd_cost(batch, hq, nq, nk, d, causal, itemsize):
     ),
 )
 def flash_attention_fwd(
-    q, k, v, *, causal=False, scale=None, block_sizes=None,
-    offset=None, window=None, interpret=None, debug=False,
-    save_residuals=True,
+    q, k, v, segment_ids=None, *, causal=False, scale=None,
+    block_sizes=None, offset=None, window=None, interpret=None,
+    debug=False, save_residuals=True,
 ):
     """Forward flash attention. Returns (o, lse) where lse is the fp32
     log-sum-exp per row, lane-replicated as [B, Hq, Nq, 128] (TPU-friendly
@@ -286,6 +316,13 @@ def flash_attention_fwd(
             raise ValueError("sliding window requires causal=True")
         if window < 1:
             raise ValueError("window must be >= 1")
+    segmented = segment_ids is not None
+    if segmented:
+        qseg, kvseg = segment_ids.q, segment_ids.kv
+        if qseg.shape != (batch, nq) or kvseg.shape != (batch, nk):
+            raise ValueError(
+                f"segment id shapes {qseg.shape}/{kvseg.shape} must be "
+                f"({batch},{nq}) / ({batch},{nk})")
     if interpret is None:
         interpret = interpret_default()
     if block_sizes is None:
@@ -301,9 +338,13 @@ def flash_attention_fwd(
     q_padded, kv_padded = nq_pad != nq, nk_pad != nk
     if q_padded:
         q = jnp.pad(q, ((0, 0), (0, 0), (0, nq_pad - nq), (0, 0)))
+        if segmented:
+            qseg = jnp.pad(qseg, ((0, 0), (0, nq_pad - nq)))
     if kv_padded:
         k = jnp.pad(k, ((0, 0), (0, 0), (0, nk_pad - nk), (0, 0)))
         v = jnp.pad(v, ((0, 0), (0, 0), (0, nk_pad - nk), (0, 0)))
+        if segmented:
+            kvseg = jnp.pad(kvseg, ((0, 0), (0, nk_pad - nk)))
         if quantized:
             from flash_attention_tpu.ops.quant import QUANT_BLOCK
             pad_rows = (nk_pad - nk) // QUANT_BLOCK
@@ -319,7 +360,7 @@ def flash_attention_fwd(
     def q_index(b, h, i, j):
         return (b, h, i, 0)
 
-    def kv_index(b, h, i, j):
+    def _kv_block(i, j):
         # Prefetch trick: a skipped block DMAs a block that WILL run
         # instead of dead data (any in-range index is correct; the
         # kernel's should_run gate decides what computes).
@@ -331,7 +372,10 @@ def flash_attention_fwd(
             )
         if window is not None:
             j = jnp.maximum(j, jmin)
-        return (b, h // group, j, 0)
+        return j
+
+    def kv_index(b, h, i, j):
+        return (b, h // group, _kv_block(i, j), 0)
 
     kernel = functools.partial(
         _fwd_kernel,
@@ -339,7 +383,7 @@ def flash_attention_fwd(
         block_q=block_q, block_kv=block_kv, num_kv_blocks=num_kv_blocks,
         q_len=nq, kv_len=nk, q_padded=q_padded, kv_padded=kv_padded,
         precision=_mxu_precision(q.dtype), window=window,
-        quantized=quantized, compute_dtype=q.dtype,
+        segmented=segmented, quantized=quantized, compute_dtype=q.dtype,
     )
 
     in_specs = [
@@ -356,6 +400,17 @@ def flash_attention_fwd(
             pl.BlockSpec((1, 1, sb, d), kv_index),
         ]
         inputs += [k_scales, v_scales]
+    if segmented:
+        # q ids lane-replicated [B, Nq, LANES] -> per-block [bq, 1] with
+        # no cross-lane transpose; kv ids [B, Nk] -> [1, bk] row vector.
+        qseg_rep = lax.broadcast_in_dim(
+            qseg.astype(jnp.int32), (batch, nq_pad, LANES), (0, 1))
+        in_specs += [
+            pl.BlockSpec((1, block_q, LANES), lambda b, h, i, j: (b, i, 0)),
+            pl.BlockSpec((1, block_kv),
+                         lambda b, h, i, j: (b, _kv_block(i, j))),
+        ]
+        inputs += [qseg_rep, kvseg.astype(jnp.int32)]
 
     out_shape = [jax.ShapeDtypeStruct((batch, hq, nq_pad, d), q.dtype)]
     out_specs = [pl.BlockSpec((1, 1, block_q, d), q_index)]
@@ -367,14 +422,13 @@ def flash_attention_fwd(
         )
         out_specs.append(pl.BlockSpec((1, 1, block_q, LANES), q_index))
         wrapped = kernel
-    elif quantized:
-        def wrapped(q_ref, k_ref, v_ref, ks_ref, vs_ref, o_ref,
-                    m_scr, l_scr, acc_scr):
-            kernel(q_ref, k_ref, v_ref, ks_ref, vs_ref, o_ref, None,
-                   m_scr, l_scr, acc_scr)
     else:
-        def wrapped(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr):
-            kernel(q_ref, k_ref, v_ref, o_ref, None, m_scr, l_scr, acc_scr)
+        n_extra = (2 if quantized else 0) + (2 if segmented else 0)
+
+        def wrapped(*refs):
+            head = refs[: 3 + n_extra + 1]        # ...through o_ref
+            scratches = refs[3 + n_extra + 1:]
+            kernel(*head, None, *scratches)       # lse_ref = None
 
     outs = pl.pallas_call(
         wrapped,
@@ -408,10 +462,14 @@ def flash_attention_fwd(
 # ---------------------------------------------------------------------------
 
 
-def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
-                   dq_scr, *, scale, causal, offset, block_q, block_kv,
+def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, *rest,
+                   scale, causal, offset, block_q, block_kv,
                    num_kv_blocks, q_len, kv_len, q_padded, kv_padded,
-                   precision, window=None):
+                   precision, window=None, segmented=False):
+    rest = list(rest)
+    if segmented:
+        qseg_ref, kvseg_ref = rest.pop(0), rest.pop(0)
+    dq_ref, dq_scr = rest
     i, j = pl.program_id(2), pl.program_id(3)
 
     @pl.when(j == 0)
@@ -440,6 +498,8 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
             s, i, j, block_q=block_q, block_kv=block_kv, causal=causal,
             offset=offset, q_len=q_len, kv_len=kv_len,
             q_padded=q_padded, kv_padded=kv_padded, window=window,
+            qseg=qseg_ref[0][:, :1] if segmented else None,
+            kvseg=kvseg_ref[...] if segmented else None,
         )
         p = jnp.exp2(s * (scale * LOG2E) - (lse[:, :1] * LOG2E))
         dp = lax.dot_general(
@@ -457,11 +517,15 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
         dq_ref[0, 0] = dq_scr[...].astype(dq_ref.dtype)
 
 
-def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
-                    dk_ref, dv_ref, dk_scr, dv_scr,
-                    *, scale, causal, offset, block_q, block_kv,
+def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, *rest,
+                    scale, causal, offset, block_q, block_kv,
                     num_q_blocks, num_inner, q_len, kv_len,
-                    q_padded, kv_padded, precision, window=None):
+                    q_padded, kv_padded, precision, window=None,
+                    segmented=False):
+    rest = list(rest)
+    if segmented:
+        qseg_ref, kvseg_ref = rest.pop(0), rest.pop(0)
+    dk_ref, dv_ref, dk_scr, dv_scr = rest
     jk, inner = pl.program_id(2), pl.program_id(3)
     iq = inner % num_q_blocks
 
@@ -490,6 +554,8 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
             s, iq, jk, block_q=block_q, block_kv=block_kv, causal=causal,
             offset=offset, q_len=q_len, kv_len=kv_len,
             q_padded=q_padded, kv_padded=kv_padded, window=window,
+            qseg=qseg_ref[0][:, :1] if segmented else None,
+            kvseg=kvseg_ref[...] if segmented else None,
         )
         # Scale folded into exp2 (see LOG2E note).
         p = jnp.exp2(s * (scale * LOG2E) - (lse[:, :1] * LOG2E))  # [bq, bk]
@@ -525,8 +591,9 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     ),
 )
 def flash_attention_bwd(
-    q, k, v, o, lse, do, *, causal=False, scale=None, block_sizes=None,
-    offset=None, window=None, interpret=None, debug=False,
+    q, k, v, o, lse, do, segment_ids=None, *, causal=False, scale=None,
+    block_sizes=None, offset=None, window=None, interpret=None,
+    debug=False,
 ):
     """Recompute backward: returns (dq, dk, dv).
 
@@ -560,15 +627,26 @@ def flash_attention_bwd(
     nk_pad = round_up(nk, block_kv)
     q_padded, kv_padded = nq_pad != nq, nk_pad != nk
     pad_q = ((0, 0), (0, 0), (0, nq_pad - nq), (0, 0))
+    segmented = segment_ids is not None
+    if segmented:
+        qseg, kvseg = segment_ids.q, segment_ids.kv
     if q_padded:
         q = jnp.pad(q, pad_q)
         do = jnp.pad(do, pad_q)
         # Padded rows must produce p == 0, not exp(big); pad lse with +big.
         lse = jnp.pad(lse, pad_q, constant_values=-MASK_VALUE)
         delta = jnp.pad(delta, pad_q)
+        if segmented:
+            qseg = jnp.pad(qseg, ((0, 0), (0, nq_pad - nq)))
     if kv_padded:
         k = jnp.pad(k, ((0, 0), (0, 0), (0, nk_pad - nk), (0, 0)))
         v = jnp.pad(v, ((0, 0), (0, 0), (0, nk_pad - nk), (0, 0)))
+        if segmented:
+            kvseg = jnp.pad(kvseg, ((0, 0), (0, nk_pad - nk)))
+    if segmented:
+        qseg_rep = lax.broadcast_in_dim(
+            qseg.astype(jnp.int32), (batch, nq_pad, LANES), (0, 1))
+        kvseg = kvseg.astype(jnp.int32)
 
     num_q_blocks = nq_pad // block_q
     num_kv_blocks = nk_pad // block_kv
@@ -578,6 +656,7 @@ def flash_attention_bwd(
         block_q=block_q, block_kv=block_kv,
         q_len=nq, kv_len=nk, q_padded=q_padded, kv_padded=kv_padded,
         precision=_mxu_precision(q.dtype), window=window,
+        segmented=segmented,
     )
 
     # --- dQ: grid over q blocks, sweep kv blocks sequentially.
@@ -595,19 +674,28 @@ def flash_attention_bwd(
             j = jnp.maximum(j, jmin)
         return (b, h // group, j, 0)
 
+    dq_in_specs = [
+        pl.BlockSpec((1, 1, block_q, d), qrow_index),      # q
+        pl.BlockSpec((1, 1, block_kv, d), kv_index_dq),    # k
+        pl.BlockSpec((1, 1, block_kv, d), kv_index_dq),    # v
+        pl.BlockSpec((1, 1, block_q, d), qrow_index),      # do
+        pl.BlockSpec((1, 1, block_q, LANES), qrow_index),  # lse
+        pl.BlockSpec((1, 1, block_q, LANES), qrow_index),  # delta
+    ]
+    dq_inputs = [q, k, v, do, lse, delta]
+    if segmented:
+        dq_in_specs += [
+            pl.BlockSpec((1, block_q, LANES), lambda b, h, i, j: (b, i, 0)),
+            pl.BlockSpec((1, block_kv),
+                         lambda b, h, i, j: (b, kv_index_dq(b, h, i, j)[2])),
+        ]
+        dq_inputs += [qseg_rep, kvseg]
     dq = pl.pallas_call(
         functools.partial(
             _bwd_dq_kernel, num_kv_blocks=num_kv_blocks, **common
         ),
         grid=(batch, hq, num_q_blocks, num_kv_blocks),
-        in_specs=[
-            pl.BlockSpec((1, 1, block_q, d), qrow_index),      # q
-            pl.BlockSpec((1, 1, block_kv, d), kv_index_dq),    # k
-            pl.BlockSpec((1, 1, block_kv, d), kv_index_dq),    # v
-            pl.BlockSpec((1, 1, block_q, d), qrow_index),      # do
-            pl.BlockSpec((1, 1, block_q, LANES), qrow_index),  # lse
-            pl.BlockSpec((1, 1, block_q, LANES), qrow_index),  # delta
-        ],
+        in_specs=dq_in_specs,
         out_specs=pl.BlockSpec((1, 1, block_q, d), qrow_index),
         out_shape=jax.ShapeDtypeStruct((batch, hq, nq_pad, d), q.dtype),
         scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
@@ -616,7 +704,7 @@ def flash_attention_bwd(
         ),
         interpret=interpret,
         debug=debug,
-    )(q, k, v, do, lse, delta)
+    )(*dq_inputs)
 
     # --- dK/dV: grid over kv blocks; inner dim sweeps (q-head-in-group ×
     # q blocks) so GQA head-group gradients accumulate in VMEM scratch.
@@ -647,20 +735,32 @@ def flash_attention_bwd(
     def kv_index_dkv(b, hk, jk, inner):
         return (b, hk, jk, 0)
 
+    dkv_in_specs = [
+        pl.BlockSpec((1, 1, block_q, d), q_index_dkv),      # q
+        pl.BlockSpec((1, 1, block_kv, d), kv_index_dkv),    # k
+        pl.BlockSpec((1, 1, block_kv, d), kv_index_dkv),    # v
+        pl.BlockSpec((1, 1, block_q, d), q_index_dkv),      # do
+        pl.BlockSpec((1, 1, block_q, LANES), q_index_dkv),  # lse
+        pl.BlockSpec((1, 1, block_q, LANES), q_index_dkv),  # delta
+    ]
+    dkv_inputs = [q, k, v, do, lse, delta]
+    if segmented:
+        dkv_in_specs += [
+            pl.BlockSpec(
+                (1, block_q, LANES),
+                lambda b, hk, jk, inner: (
+                    b, q_index_dkv(b, hk, jk, inner)[2], 0)),
+            pl.BlockSpec((1, block_kv),
+                         lambda b, hk, jk, inner: (b, jk)),
+        ]
+        dkv_inputs += [qseg_rep, kvseg]
     dk, dv = pl.pallas_call(
         functools.partial(
             _bwd_dkv_kernel, num_q_blocks=num_q_blocks, num_inner=num_inner,
             **common,
         ),
         grid=(batch, hkv, num_kv_blocks, num_inner),
-        in_specs=[
-            pl.BlockSpec((1, 1, block_q, d), q_index_dkv),      # q
-            pl.BlockSpec((1, 1, block_kv, d), kv_index_dkv),    # k
-            pl.BlockSpec((1, 1, block_kv, d), kv_index_dkv),    # v
-            pl.BlockSpec((1, 1, block_q, d), q_index_dkv),      # do
-            pl.BlockSpec((1, 1, block_q, LANES), q_index_dkv),  # lse
-            pl.BlockSpec((1, 1, block_q, LANES), q_index_dkv),  # delta
-        ],
+        in_specs=dkv_in_specs,
         out_specs=[
             pl.BlockSpec((1, 1, block_kv, d), kv_index_dkv),
             pl.BlockSpec((1, 1, block_kv, d), kv_index_dkv),
@@ -678,7 +778,7 @@ def flash_attention_bwd(
         ),
         interpret=interpret,
         debug=debug,
-    )(q, k, v, do, lse, delta)
+    )(*dkv_inputs)
 
     if q_padded:
         dq = dq[:, :, :nq]
@@ -694,43 +794,45 @@ def flash_attention_bwd(
 
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8)
+    jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9)
 )
-def _flash_attention(q, k, v, causal, scale, block_sizes, offset, window,
-                     interpret):
+def _flash_attention(q, k, v, segment_ids, causal, scale, block_sizes,
+                     offset, window, interpret):
     o, _ = flash_attention_fwd(
-        q, k, v, causal=causal, scale=scale, block_sizes=block_sizes,
-        offset=offset, window=window, interpret=interpret,
-        save_residuals=False,
+        q, k, v, segment_ids, causal=causal, scale=scale,
+        block_sizes=block_sizes, offset=offset, window=window,
+        interpret=interpret, save_residuals=False,
     )
     return o
 
 
-def _flash_attention_vjp_fwd(q, k, v, causal, scale, block_sizes, offset,
-                             window, interpret):
+def _flash_attention_vjp_fwd(q, k, v, segment_ids, causal, scale,
+                             block_sizes, offset, window, interpret):
     o, lse = flash_attention_fwd(
-        q, k, v, causal=causal, scale=scale, block_sizes=block_sizes,
-        offset=offset, window=window, interpret=interpret,
+        q, k, v, segment_ids, causal=causal, scale=scale,
+        block_sizes=block_sizes, offset=offset, window=window,
+        interpret=interpret,
     )
-    return o, (q, k, v, o, lse)
+    return o, (q, k, v, segment_ids, o, lse)
 
 
 def _flash_attention_vjp_bwd(causal, scale, block_sizes, offset, window,
                              interpret, residuals, do):
-    q, k, v, o, lse = residuals
+    q, k, v, segment_ids, o, lse = residuals
     dq, dk, dv = flash_attention_bwd(
-        q, k, v, o, lse, do, causal=causal, scale=scale,
+        q, k, v, o, lse, do, segment_ids, causal=causal, scale=scale,
         block_sizes=block_sizes, offset=offset, window=window,
         interpret=interpret,
     )
-    return dq, dk, dv
+    return dq, dk, dv, None
 
 
 _flash_attention.defvjp(_flash_attention_vjp_fwd, _flash_attention_vjp_bwd)
 
 
 def flash_attention(
-    q, k, v, *, causal: bool = False, scale: float | None = None,
+    q, k, v, segment_ids: SegmentIds | None = None, *,
+    causal: bool = False, scale: float | None = None,
     block_sizes: BlockSizes | None = None, offset: int | None = None,
     window: int | None = None, interpret: bool | None = None,
 ):
@@ -755,7 +857,8 @@ def flash_attention(
       interpret: force Pallas interpreter mode (defaults to True off-TPU).
     """
     return _flash_attention(
-        q, k, v, causal, scale, block_sizes, offset, window, interpret
+        q, k, v, segment_ids, causal, scale, block_sizes, offset, window,
+        interpret
     )
 
 
