@@ -37,7 +37,7 @@ from flash_attention_tpu.config import (
     interpret_default,
     round_up,
 )
-from flash_attention_tpu.ops.flash import LOG2E, MASK_VALUE
+from flash_attention_tpu.ops.flash import INIT_M, LOG2E, MASK_VALUE
 from flash_attention_tpu.ops.quant import QUANT_BLOCK, QuantizedTensor
 
 # Measured on v5e (B=64, Hkv=8, S=4096, D=128, ragged lengths):
@@ -74,7 +74,7 @@ def _decode_kernel(lengths_ref, q_ref, *rest, scale, block_kv,
 
     @pl.when(jk == 0)
     def _init():
-        m_scr[...] = jnp.full_like(m_scr, MASK_VALUE)
+        m_scr[...] = jnp.full_like(m_scr, INIT_M)
         l_scr[...] = jnp.zeros_like(l_scr)
         acc_scr[...] = jnp.zeros_like(acc_scr)
 

@@ -58,6 +58,15 @@ from flash_attention_tpu.config import (
 # Large-negative mask value; -inf would poison exp() for fully-masked rows.
 MASK_VALUE = -0.7 * float(np.finfo(np.float32).max)
 
+# Running-max initializer. MUST be far above MASK_VALUE: a fully-masked
+# row has every score == MASK_VALUE, and if m could also reach
+# MASK_VALUE then p = exp2((s - m)*c) = 1 per masked position — the row
+# silently outputs mean(v) and leaks gradients across the mask (hit by
+# segment ids whose q document has no kv match). With INIT_M > MASK
+# the row max stays INIT_M, p = exp2(very negative) = 0, l stays 0, and
+# the l==0 store guard zeroes the output.
+INIT_M = -1e37
+
 # exp(x*scale) == exp2(x * (scale*LOG2E)): tracking the row max on the
 # UNSCALED scores and folding the softmax scale into the exp2 constant
 # removes one full [block_q, block_kv] VPU multiply per tile (exp lowers
@@ -132,6 +141,22 @@ def _first_window_block(i, block_q, offset, window, block_kv):
     return jnp.maximum(oldest_col, 0) // block_kv
 
 
+def _kv_block_redirect(i, j, *, block_q, block_kv, causal, offset, window):
+    """Skipped-block DMA redirect shared by the forward and dQ grids:
+    a block that will not run maps its DMA to one that will (any
+    in-range index is correct; the kernel's should_run gate decides
+    what computes)."""
+    jmin = (_first_window_block(i, block_q, offset, window, block_kv)
+            if window is not None else 0)
+    if causal:
+        j = lax.select(
+            _below_or_on_diag(i, block_q, j, block_kv, offset), j, jmin
+        )
+    if window is not None:
+        j = jnp.maximum(j, jmin)
+    return j
+
+
 def _mask_block(s, i, j, *, block_q, block_kv, causal, offset,
                 q_len, kv_len, q_padded, kv_padded, window=None,
                 qseg=None, kvseg=None):
@@ -195,7 +220,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, *rest, scale, causal, offset, block_q,
 
     @pl.when(j == 0)
     def _init():
-        m_scr[...] = jnp.full_like(m_scr, MASK_VALUE)
+        m_scr[...] = jnp.full_like(m_scr, INIT_M)
         l_scr[...] = jnp.zeros_like(l_scr)
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
@@ -255,8 +280,10 @@ def _fwd_kernel(q_ref, k_ref, v_ref, *rest, scale, causal, offset, block_q,
             lse_ref[0, 0] = m_scr[...] * scale + jnp.log(l_safe)
 
 
-def _fwd_cost(batch, hq, nq, nk, d, causal, itemsize):
+def _fwd_cost(batch, hq, nq, nk, d, causal, itemsize, window=None):
     frac = 0.5 if causal else 1.0
+    if window is not None and nk:
+        frac = min(frac, window / nk)
     flops = int(4 * batch * hq * nq * nk * d * frac)
     bytes_accessed = itemsize * batch * hq * (3 * nq * d + 2 * nk * d)
     return pl.CostEstimate(
@@ -361,18 +388,9 @@ def flash_attention_fwd(
         return (b, h, i, 0)
 
     def _kv_block(i, j):
-        # Prefetch trick: a skipped block DMAs a block that WILL run
-        # instead of dead data (any in-range index is correct; the
-        # kernel's should_run gate decides what computes).
-        jmin = (_first_window_block(i, block_q, offset, window, block_kv)
-                if window is not None else 0)
-        if causal:
-            j = lax.select(
-                _below_or_on_diag(i, block_q, j, block_kv, offset), j, jmin
-            )
-        if window is not None:
-            j = jnp.maximum(j, jmin)
-        return j
+        return _kv_block_redirect(
+            i, j, block_q=block_q, block_kv=block_kv, causal=causal,
+            offset=offset, window=window)
 
     def kv_index(b, h, i, j):
         return (b, h // group, _kv_block(i, j), 0)
@@ -445,7 +463,8 @@ def flash_attention_fwd(
             "parallel", "parallel", "parallel", "arbitrary"
         ),
         cost_estimate=_fwd_cost(
-            batch, hq, nq, nk, d, causal, jnp.dtype(q.dtype).itemsize
+            batch, hq, nq, nk, d, causal, jnp.dtype(q.dtype).itemsize,
+            window,
         ),
         interpret=interpret,
         debug=debug,
@@ -664,15 +683,9 @@ def flash_attention_bwd(
         return (b, h, i, 0)
 
     def kv_index_dq(b, h, i, j):
-        jmin = (_first_window_block(i, block_q, offset, window, block_kv)
-                if window is not None else 0)
-        if causal:
-            j = lax.select(
-                _below_or_on_diag(i, block_q, j, block_kv, offset), j, jmin
-            )
-        if window is not None:
-            j = jnp.maximum(j, jmin)
-        return (b, h // group, j, 0)
+        return (b, h // group, _kv_block_redirect(
+            i, j, block_q=block_q, block_kv=block_kv, causal=causal,
+            offset=offset, window=window), 0)
 
     dq_in_specs = [
         pl.BlockSpec((1, 1, block_q, d), qrow_index),      # q

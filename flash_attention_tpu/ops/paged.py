@@ -28,7 +28,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from flash_attention_tpu.config import LANES, interpret_default
-from flash_attention_tpu.ops.flash import LOG2E, MASK_VALUE
+from flash_attention_tpu.ops.flash import INIT_M, LOG2E, MASK_VALUE
 from flash_attention_tpu.ops.quant import QUANT_BLOCK
 
 DEFAULT_PAGE_SIZE = 256
@@ -53,7 +53,7 @@ def _paged_kernel(lengths_ref, pt_ref, q_ref, *rest, scale, page_size,
 
     @pl.when(p == 0)
     def _init():
-        m_scr[...] = jnp.full_like(m_scr, MASK_VALUE)
+        m_scr[...] = jnp.full_like(m_scr, INIT_M)
         l_scr[...] = jnp.zeros_like(l_scr)
         acc_scr[...] = jnp.zeros_like(acc_scr)
 

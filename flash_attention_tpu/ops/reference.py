@@ -51,6 +51,8 @@ def attention_reference(q, k, v, *, causal: bool = False,
     d = q.shape[-1]
     if scale is None:
         scale = 1.0 / (d ** 0.5)
+    if window is not None and not causal:
+        raise ValueError("sliding window requires causal=True")
     k = _expand_kv_heads(k, q.shape[1])
     v = _expand_kv_heads(v, q.shape[1])
     qf = q.astype(jnp.float32)

@@ -47,6 +47,7 @@ from flash_attention_tpu.config import (
     round_up,
 )
 from flash_attention_tpu.ops.flash import (
+    INIT_M,
     MASK_VALUE,
     _dimension_semantics,
     _mxu_precision,
@@ -83,7 +84,7 @@ def _fa1_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref,
 
     @pl.when(j == 0)
     def _init():
-        m_scr[...] = jnp.full_like(m_scr, MASK_VALUE)
+        m_scr[...] = jnp.full_like(m_scr, INIT_M)
         l_scr[...] = jnp.zeros_like(l_scr)
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
@@ -220,7 +221,7 @@ def _fa2_inloop_kernel(q_ref, k_ref, v_ref, o_ref,
 
     @pl.when(j == 0)
     def _init():
-        m_scr[...] = jnp.full_like(m_scr, MASK_VALUE)
+        m_scr[...] = jnp.full_like(m_scr, INIT_M)
         l_scr[...] = jnp.zeros_like(l_scr)
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
@@ -349,7 +350,7 @@ def _naive_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr,
 
     @pl.when(jj == 0)
     def _init():
-        m_scr[...] = jnp.full_like(m_scr, MASK_VALUE)
+        m_scr[...] = jnp.full_like(m_scr, INIT_M)
         l_scr[...] = jnp.zeros_like(l_scr)
         acc_scr[...] = jnp.zeros_like(acc_scr)
 

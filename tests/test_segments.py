@@ -112,3 +112,22 @@ def test_segments_shape_validation(qkv_factory):
     with pytest.raises(ValueError, match="segment id shapes"):
         flash_attention(q, k, v, SegmentIds(bad, bad), causal=True,
                         block_sizes=SMALL)
+
+
+def test_fully_masked_segment_rows_zero_output_and_grads(qkv_factory):
+    """A q document absent from kv must output exactly 0 with zero
+    gradients — not mean(v) with cross-mask gradient leakage (the
+    INIT_M > MASK_VALUE invariant; regression for a confirmed bug)."""
+    q, k, v = qkv_factory(1, 2, 2, 128, 128, 64, jnp.float32)
+    seg_q = jnp.full((1, 128), 7, jnp.int32)
+    seg_kv = jnp.zeros((1, 128), jnp.int32)
+
+    out = flash_attention(q, k, v, SegmentIds(seg_q, seg_kv),
+                          block_sizes=SMALL)
+    assert float(jnp.max(jnp.abs(out))) == 0.0
+
+    g = jax.grad(lambda q, k, v: jnp.sum(flash_attention(
+        q, k, v, SegmentIds(seg_q, seg_kv), block_sizes=SMALL) ** 2),
+        (0, 1, 2))(q, k, v)
+    for x, n in zip(g, "qkv"):
+        assert float(jnp.max(jnp.abs(x))) == 0.0, n
