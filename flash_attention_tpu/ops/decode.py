@@ -63,7 +63,7 @@ def _dequant(tile_ref, scale_ref, jk, out_dtype):
 
 
 def _decode_kernel(lengths_ref, q_ref, *rest, scale, block_kv,
-                   num_kv_blocks, quantized, compute_dtype):
+                   num_kv_blocks, quantized, compute_dtype, window=None):
     if quantized:
         k_ref, v_ref, kscale_ref, vscale_ref, o_ref, m_scr, l_scr, acc_scr = rest
     else:
@@ -78,7 +78,14 @@ def _decode_kernel(lengths_ref, q_ref, *rest, scale, block_kv,
         l_scr[...] = jnp.zeros_like(l_scr)
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
-    @pl.when(jk * block_kv < length)
+    in_range = jk * block_kv < length
+    if window is not None:
+        # Blocks entirely older than the window skip compute (and their
+        # DMA, via the index-map clamp below).
+        in_range = jnp.logical_and(
+            in_range, (jk + 1) * block_kv > length - window)
+
+    @pl.when(in_range)
     def _compute():
         q = q_ref[0, 0]                            # [G, D]
         if quantized:
@@ -94,6 +101,8 @@ def _decode_kernel(lengths_ref, q_ref, *rest, scale, block_kv,
         )                                           # [G, bk]
         col = lax.broadcasted_iota(jnp.int32, s.shape, 1) + jk * block_kv
         s = jnp.where(col >= length, MASK_VALUE, s)
+        if window is not None:
+            s = jnp.where(col < length - window, MASK_VALUE, s)
 
         c = scale * LOG2E
         m_prev = m_scr[...]
@@ -122,10 +131,10 @@ def _decode_kernel(lengths_ref, q_ref, *rest, scale, block_kv,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("scale", "block_kv", "interpret"),
+    static_argnames=("scale", "block_kv", "interpret", "window"),
 )
 def flash_decode(q, k, v, lengths, *, scale=None, block_kv=DEFAULT_BLOCK_KV,
-                 interpret=None):
+                 window=None, interpret=None):
     """Single-step decode attention.
 
     Args:
@@ -133,6 +142,9 @@ def flash_decode(q, k, v, lengths, *, scale=None, block_kv=DEFAULT_BLOCK_KV,
       k, v: [B, Hkv, S, D] bf16/fp16/fp32 cache, or QuantizedTensor
         (int8/fp8 values + block-channel scales) for both.
       lengths: [B] int32 — live prefix length per sequence (<= S).
+      window: sliding-window size — attend only the most recent
+        `window` cached positions (Mistral/Gemma local attention);
+        older blocks skip compute and DMA.
 
     Returns [B, Hq, D] in q's dtype.
     """
@@ -163,9 +175,13 @@ def flash_decode(q, k, v, lengths, *, scale=None, block_kv=DEFAULT_BLOCK_KV,
         return (b, hk, 0, 0)
 
     def kv_index(b, hk, jk, lens):
-        # Redirect out-of-range blocks to block 0 (next (b,hk) starts
-        # there) so the pipeline never DMAs dead cache lines.
-        jk = lax.select(jk * block_kv < lens[b], jk, 0)
+        # Redirect out-of-range blocks to a block that runs so the
+        # pipeline never DMAs dead cache lines.
+        jmin = 0
+        if window is not None:
+            jmin = jnp.maximum(lens[b] - window, 0) // block_kv
+            jk = jnp.maximum(jk, jmin)
+        jk = lax.select(jk * block_kv < lens[b], jk, jmin)
         return (b, hk, jk, 0)
 
     def kv_scale_index(b, hk, jk, lens):
@@ -195,7 +211,7 @@ def flash_decode(q, k, v, lengths, *, scale=None, block_kv=DEFAULT_BLOCK_KV,
         functools.partial(
             _decode_kernel, scale=scale, block_kv=block_kv,
             num_kv_blocks=num_kv_blocks, quantized=quantized,
-            compute_dtype=compute_dtype,
+            compute_dtype=compute_dtype, window=window,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
@@ -217,8 +233,9 @@ def flash_decode(q, k, v, lengths, *, scale=None, block_kv=DEFAULT_BLOCK_KV,
     return out.reshape(batch, hq, d)
 
 
-def decode_reference(q, k, v, lengths, *, scale=None):
-    """Exact decode reference: mask positions >= length, fp32 softmax."""
+def decode_reference(q, k, v, lengths, *, scale=None, window=None):
+    """Exact decode reference: mask positions >= length (and, with
+    window, positions < length - window), fp32 softmax."""
     from flash_attention_tpu.ops.quant import dequantize_kv
     if isinstance(k, QuantizedTensor):
         k = dequantize_kv(k, dtype=jnp.float32)
@@ -234,6 +251,9 @@ def decode_reference(q, k, v, lengths, *, scale=None):
                     precision=lax.Precision.HIGHEST) * scale
     pos = jnp.arange(s)[None, None, :]
     sc = jnp.where(pos >= lengths[:, None, None], -jnp.inf, sc)
+    if window is not None:
+        sc = jnp.where(pos < (lengths - window)[:, None, None],
+                       -jnp.inf, sc)
     p = jax.nn.softmax(sc, axis=-1)
     o = jnp.einsum("bhs,bhsd->bhd", p, vv,
                    precision=lax.Precision.HIGHEST)

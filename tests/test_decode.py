@@ -114,3 +114,21 @@ def test_decode_rejects_mixed_quant(rng):
     q, k, v = make_decode_inputs(rng, 1, 2, 2, 256, 64)
     with pytest.raises(ValueError, match="both be quantized"):
         flash_decode(q, quantize_kv(k), v, jnp.asarray([256], jnp.int32))
+
+
+def test_decode_sliding_window_matches_reference(qkv_factory, rng):
+    """Windowed decode: only the most recent `window` cached positions
+    attend; out-of-window blocks skip (Mistral/Gemma serving)."""
+    import jax.numpy as jnp
+    from flash_attention_tpu.ops.decode import decode_reference, flash_decode
+    from flash_attention_tpu.utils.metrics import verify
+    B, HQ, HKV, S, D = 3, 4, 2, 1024, 64
+    q = jnp.asarray(rng.normal(0, 0.02, (B, HQ, D)), jnp.float32)
+    k = jnp.asarray(rng.normal(0, 0.02, (B, HKV, S, D)), jnp.float32)
+    v = jnp.asarray(rng.normal(0, 0.02, (B, HKV, S, D)), jnp.float32)
+    lengths = jnp.asarray([1024, 700, 130], jnp.int32)
+    for window in (256, 300, 2000):
+        got = flash_decode(q, k, v, lengths, window=window, block_kv=256)
+        ref = decode_reference(q, k, v, lengths, window=window)
+        rep = verify(got, ref)
+        assert rep.passed, (window, str(rep))
