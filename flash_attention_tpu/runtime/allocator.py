@@ -189,8 +189,11 @@ class PyAllocator:
         self._seqs[seq_id] = (pages, new_len)
         return True
 
+    def _valid(self, seq_id: int) -> bool:
+        return 0 <= seq_id < self.max_seqs and self._seqs[seq_id] is not None
+
     def fork(self, src_id: int) -> int:
-        if self._seqs[src_id] is None:
+        if not self._valid(src_id):
             return -1
         sid = self._find_slot()
         if sid < 0:
@@ -202,7 +205,7 @@ class PyAllocator:
         return sid
 
     def cow_last_page(self, seq_id: int):
-        s = self._seqs[seq_id]
+        s = self._seqs[seq_id] if self._valid(seq_id) else None
         if s is None or not s[0]:
             raise ValueError(f"bad seq {seq_id}")
         pages, _ = s
@@ -233,7 +236,7 @@ class PyAllocator:
 
     def page_table(self, seq_id: int, max_pages: int, fill: int = 0):
         import numpy as np
-        s = self._seqs[seq_id]
+        s = self._seqs[seq_id] if self._valid(seq_id) else None
         if s is None or len(s[0]) > max_pages:
             raise ValueError(f"bad seq {seq_id} or table too small")
         out = np.full(max_pages, fill, np.int32)

@@ -32,7 +32,6 @@ from __future__ import annotations
 
 import collections
 import dataclasses
-import functools
 import itertools
 import time
 from typing import Any
@@ -216,25 +215,32 @@ class Engine:
         times — branches share every prompt page (refcounted; data
         copy-on-writes at the first shared-page flush)."""
         done = []
+        # One usable-page budget: the scratch page ispermanently reserved.
+        total_usable = self.cache.num_pages - 1
         while self.pending:
             req = self.pending[0]
             n = max(1, req.n)
+            prompt = np.asarray(req.prompt, np.int32)
+            t = len(prompt)
+            worst = self.cache.pages_for(t + req.max_new_tokens)
+            branch_worst = (worst - self.cache.pages_for(max(t, 1))) + 1
+            need = worst + (n - 1) * branch_worst
+            # Infeasible requests must be REJECTED (popped + raised), not
+            # left at the FIFO head where they would wedge the engine or
+            # spin run() forever.
+            if (t + req.max_new_tokens > self.max_seq_len
+                    or n > self.max_batch or need > total_usable):
+                self.pending.popleft()
+                raise ValueError(
+                    f"request {req.request_id} is infeasible for this "
+                    f"engine: prompt {t} + max_new {req.max_new_tokens} "
+                    f"(max_seq_len {self.max_seq_len}), n={n} "
+                    f"(max_batch {self.max_batch}), worst-case pages "
+                    f"{need} (usable {total_usable})")
             free_slots = [i for i, s in enumerate(self.slots)
                           if s is None]
             if len(free_slots) < n:
                 break
-            prompt = np.asarray(req.prompt, np.int32)
-            t = len(prompt)
-            if t + req.max_new_tokens > self.max_seq_len:
-                raise ValueError(
-                    f"request {req.request_id}: prompt {t} + max_new "
-                    f"{req.max_new_tokens} exceeds max_seq_len "
-                    f"{self.max_seq_len}")
-            worst = self.cache.pages_for(t + req.max_new_tokens)
-            # Forked branches share the prompt pages; each extra branch
-            # needs only its generated pages plus one COW page.
-            branch_worst = (worst - self.cache.pages_for(max(t, 1))) + 1
-            need = worst + (n - 1) * branch_worst
             if self.cache.free_pages - self._reserved_pages() < need:
                 break                       # wait for pages to free up
             self.pending.popleft()
@@ -361,9 +367,9 @@ class Engine:
                 )
             toks = np.asarray(toks_dev)              # [chunk, B], one sync
         self.stats.decode_s += time.perf_counter() - t0
-        self.stats.decode_tokens += len(live) * toks.shape[0]
         self.stats.engine_steps += 1
 
+        accepted = 0
         for i in live:
             s = self.slots[i]
             # All chunk tokens are in the cache (tail); accept into the
@@ -376,11 +382,13 @@ class Engine:
                 tok = int(step_row[i])
                 s.next_token = tok
                 s.generated.append(tok)
+                accepted += 1
                 fin = self._maybe_finish(s)
                 if fin is not None:
                     done.append(fin)
                     self.slots[i] = None
                     s = None
+        self.stats.decode_tokens += accepted
         return done
 
     def run(self, requests=None) -> list[Completion]:

@@ -17,7 +17,6 @@ come from `batch_state()`.
 
 from __future__ import annotations
 
-import dataclasses
 import functools
 
 import jax
@@ -38,9 +37,7 @@ def _write_tokens(pool, page_ids, offsets, new):
 
     pool: [Hkv, P, ps, D]; page_ids/offsets: [T] int32 per new token;
     new: [Hkv, T, D]."""
-    return pool.at[:, page_ids, offsets, :].set(
-        jnp.moveaxis(new, 1, 1).astype(pool.dtype)
-    )
+    return pool.at[:, page_ids, offsets, :].set(new.astype(pool.dtype))
 
 
 class PagedKVCache:
@@ -78,10 +75,23 @@ class PagedKVCache:
         return sid
 
     def append_token(self, seq_id: int, k_new, v_new) -> None:
-        """Append one token ([Hkv, D]) to a sequence."""
+        """Append one token ([Hkv, D]) to a sequence. A last page
+        shared with a fork is copy-on-written first."""
+        if self.k_scales is not None:
+            raise NotImplementedError(
+                "appending to a quantized PagedKVCache requires "
+                "requantizing the touched page; use LayeredPagedKVCache "
+                "(quant_dtype=...) for a read/write quantized cache")
         cur = self.allocator.length(seq_id)
         if cur < 0:
             raise ValueError(f"dead sequence {seq_id}")
+        if cur % self.page_size:
+            page, copied_from = self.allocator.cow_last_page(seq_id)
+            if copied_from >= 0:
+                self.k_pool = self.k_pool.at[:, page].set(
+                    self.k_pool[:, copied_from])
+                self.v_pool = self.v_pool.at[:, page].set(
+                    self.v_pool[:, copied_from])
         if not self.allocator.extend(seq_id, cur + 1):
             raise MemoryError("KV pool exhausted")
         self._write(seq_id, cur, k_new[:, None, :], v_new[:, None, :])
@@ -397,8 +407,14 @@ class LayeredPagedKVCache:
         return self.allocator.length(seq_id)
 
     def write(self, seq_id: int, start: int, ks, vs) -> None:
-        """Write ks/vs [L, Hkv, T, D] at token offset `start`."""
+        """Write ks/vs [L, Hkv, T, D] at token offset `start`,
+        extending the allocation to cover it (a pre-reserved sequence
+        shorter than the write would otherwise scribble into the
+        page-table fill value)."""
         t = ks.shape[2]
+        if self.allocator.length(seq_id) < start + t:
+            if not self.allocator.extend(seq_id, start + t):
+                raise MemoryError("KV pool exhausted during write")
         max_pages = -(-(start + t) // self.page_size)
         table, _ = self.allocator.page_table(seq_id, max_pages)
         if self.quant_dtype is not None:
@@ -493,7 +509,9 @@ class LayeredPagedKVCache:
         """Quantized flush: requantize every token-block the tail tokens
         touch (existing rows dequant + overlay + fresh scale)."""
         b = self.max_seqs
-        mb = self.tail_size // QUANT_BLOCK + 1   # max blocks per slot
+        # Max token-blocks a flush of <= tail_size tokens can touch at
+        # ANY alignment: (cnt-1) spans (cnt+QB-2)//QB block boundaries.
+        mb = (self.tail_size + QUANT_BLOCK - 2) // QUANT_BLOCK + 1
         n = b * mb
         blk_pages = np.full((n,), self.scratch_page, np.int32)
         blk_rows = np.zeros((n,), np.int32)

@@ -117,10 +117,21 @@ def test_engine_temperature_sampling_runs(params, rng):
 
 
 def test_engine_rejects_oversized_request(params):
+    """Infeasible requests are popped and rejected — the queue must not
+    wedge, and later valid requests still serve."""
     eng = make_engine(params, num_pages=4)
     eng.submit(Request(prompt=[1] * 10, max_new_tokens=10_000))
-    with pytest.raises(ValueError, match="exceeds max_seq_len"):
+    with pytest.raises(ValueError, match="infeasible"):
         eng.step()
+    assert not eng.pending              # rejected request was dequeued
+    # n > max_batch is also infeasible, not an infinite admission wait.
+    eng.submit(Request(prompt=[1] * 4, max_new_tokens=2,
+                       n=eng.max_batch + 1))
+    with pytest.raises(ValueError, match="infeasible"):
+        eng.step()
+    # The engine still serves valid work afterwards.
+    (c,) = eng.run([Request(prompt=[1, 2, 3], max_new_tokens=2)])
+    assert len(c.tokens) == 2
 
 
 def test_engine_tail_flush_exactness(params, rng):

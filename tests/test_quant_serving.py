@@ -127,3 +127,40 @@ def test_quant_ppl_delta_gate(params, rng, qdtype):
     ppl_quant = float(np.exp(nll_quant))
     assert abs(ppl_quant - ppl_dense) <= 0.05 * max(ppl_dense, 1.0), (
         ppl_dense, ppl_quant)
+
+
+def test_quant_flush_crossing_block_boundary_small_tail(rng):
+    """Regression: tail_size < QUANT_BLOCK with a flush that crosses a
+    128-token block boundary must requantize BOTH touched blocks (the
+    old max-blocks bound corrupted the next slot's entries)."""
+    L, HKV, D = 1, 2, 64
+    cache = LayeredPagedKVCache(
+        n_layers=L, kv_heads=HKV, head_dim=D, num_pages=8,
+        page_size=PAGE, max_seqs=2, tail_size=8, quant_dtype=jnp.int8,
+        dtype=jnp.float32)
+    truth_k = rng.normal(0, 0.02, (L, HKV, 121 + 8, D)).astype(np.float32)
+    truth_v = rng.normal(0, 0.02, (L, HKV, 121 + 8, D)).astype(np.float32)
+    # Two live slots so a bad bound would cross slot entry regions.
+    a = cache.add_sequence(jnp.asarray(truth_k[:, :, :121]),
+                           jnp.asarray(truth_v[:, :, :121]))
+    b = cache.add_sequence(jnp.asarray(truth_k[:, :, :121]),
+                           jnp.asarray(truth_v[:, :, :121]))
+    for sid_slot, sid in ((0, a), (1, b)):
+        cache.k_tails[0] = cache.k_tails[0].at[sid_slot, :, :8, :].set(
+            jnp.asarray(truth_k[0, :, 121:129]))
+        cache.v_tails[0] = cache.v_tails[0].at[sid_slot, :, :8, :].set(
+            jnp.asarray(truth_v[0, :, 121:129]))
+    cache.flush_tails([a, b], [8, 8])   # 121..128 crosses block 0->1
+    tables, lengths = cache.batch_state([a, b], 2)
+    q = jnp.asarray(rng.normal(0, 0.02, (2, HKV * 2, D)), jnp.float32)
+    from flash_attention_tpu.ops.decode import decode_reference
+    got = paged_flash_decode(
+        q, cache.k_pools[0], cache.v_pools[0], tables, lengths,
+        k_scales=cache.k_scale_pools[0], v_scales=cache.v_scale_pools[0])
+    for i in range(2):
+        ref = decode_reference(
+            q[i:i+1], jnp.asarray(truth_k[0, None, :, :129]),
+            jnp.asarray(truth_v[0, None, :, :129]), lengths[i:i+1])
+        err = float(jnp.max(jnp.abs(got[i:i+1].astype(jnp.float32)
+                                    - ref.astype(jnp.float32))))
+        assert err <= 6e-3, (i, err)
