@@ -180,26 +180,19 @@ def rope(x, positions, theta):
     return out.astype(x.dtype)
 
 
-def _attention_block(layer, x, cfg, positions, kv_cache=None,
-                     cache_lengths=None, attn_impl=None):
-    """Returns (out [B,T,dim], new (k,v) for cache update or None)."""
-    b, t, d = x.shape
+def _attention_block(layer, x, cfg, positions, attn_impl=None):
+    """Full-sequence attention block (training / prefill). Returns
+    (out [B,T,dim], (k, v) for cache insertion). Decode paths live in
+    decode_step / decode_step_paged."""
     h = rmsnorm(x, layer["attn_norm"], cfg.norm_eps)
     q = _mm("btd,dhk->bhtk", h, layer["wq"])
     k = _mm("btd,dhk->bhtk", h, layer["wk"])
     v = _mm("btd,dhk->bhtk", h, layer["wv"])
     q = rope(q, positions, cfg.rope_theta)
     k = rope(k, positions, cfg.rope_theta)
-
-    if kv_cache is None:
-        if attn_impl is None:
-            attn_impl = functools.partial(flash_attention, causal=True)
-        o = attn_impl(q, k, v)
-    else:
-        # Decode: q is [B, Hq, 1, D]; cache holds the prefix, new k/v
-        # were already written at positions by the caller.
-        ck, cv = kv_cache
-        o = flash_decode(q[:, :, 0], ck, cv, cache_lengths)[:, :, None]
+    if attn_impl is None:
+        attn_impl = functools.partial(flash_attention, causal=True)
+    o = attn_impl(q, k, v)
     out = _mm("bhtk,hkd->btd", o, layer["wo"])
     return out, (k, v)
 

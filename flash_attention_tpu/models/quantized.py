@@ -133,8 +133,10 @@ def init_quantized_params(cfg, key) -> dict:
         kk = int(np.prod(shape[:n_contract]))
         f = int(np.prod(shape[n_contract:]))
         q = jax.random.randint(k, (kk, f), -127, 128, jnp.int8)
-        # absmax-per-channel of N(0, 1/fan_in) weights ~ 4 sigma.
-        scale = jnp.full((f,), 4.0 / np.sqrt(fan_in) / 127.0, jnp.float32)
+        # Uniform int8 has std 127/sqrt(3); scale so the dequantized
+        # weight std matches He init's 1/sqrt(fan_in).
+        scale = jnp.full(
+            (f,), np.sqrt(3.0) / (127.0 * np.sqrt(fan_in)), jnp.float32)
         return QuantizedWeight(q=q, scale=scale, orig_shape=tuple(shape),
                                n_contract=n_contract)
 

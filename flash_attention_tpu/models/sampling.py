@@ -30,11 +30,13 @@ def generate(params, prompt_tokens, cfg, *, max_new_tokens: int,
     b, t = prompt_tokens.shape
     if max_len is None:
         max_len = t + max_new_tokens
+    max_len = -(-max_len // 128) * 128   # lane-aligned cache length
     if key is None:
         key = jax.random.PRNGKey(0)
+    keys = jax.random.split(key, max_new_tokens)
     cache = init_kv_cache(cfg, b, max_len)
     logits, cache, lengths = prefill(params, prompt_tokens, cfg, cache)
-    tok = sample(logits, key, temperature=temperature, top_k=top_k)
+    tok = sample(logits, keys[0], temperature=temperature, top_k=top_k)
 
     def step(carry, k_step):
         tok, cache, lengths = carry
@@ -43,7 +45,6 @@ def generate(params, prompt_tokens, cfg, *, max_new_tokens: int,
         nxt = sample(logits, k_step, temperature=temperature, top_k=top_k)
         return (nxt, cache, lengths), tok
 
-    keys = jax.random.split(key, max_new_tokens)
     (last, _, _), toks = jax.lax.scan(
-        step, (tok, cache, lengths), keys[:-1])
+        step, (tok, cache, lengths), keys[1:])
     return jnp.concatenate([toks.T, last[:, None]], axis=1)

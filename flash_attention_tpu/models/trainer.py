@@ -63,8 +63,11 @@ class Trainer:
             params = jax.tree.map(jax.device_put, params, shardings)
         self.params = params
         self.opt_state = optimizer.init(params)
+        # Donate params/opt_state: without donation every step keeps the
+        # old buffers alive alongside the new ones (~2x peak HBM).
         self._step_fn = jax.jit(
-            make_train_step(cfg, optimizer, remat=self.tc.remat))
+            make_train_step(cfg, optimizer, remat=self.tc.remat),
+            donate_argnums=(0, 1))
 
         if self.tc.ckpt_dir is not None:
             last = latest_step(self.tc.ckpt_dir)

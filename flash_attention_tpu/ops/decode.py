@@ -164,8 +164,17 @@ def flash_decode(q, k, v, lengths, *, scale=None, block_kv=DEFAULT_BLOCK_KV,
     if s <= block_kv:
         block_kv = s          # single block; any length is a legal block
     elif s % block_kv:
-        raise ValueError(f"cache length {s} must be a multiple of "
-                         f"block_kv={block_kv}")
+        # Auto-shrink to the largest lane-aligned divisor of s so any
+        # cache length works (callers need not know the block size).
+        block_kv = 0
+        for cand in range(min(DEFAULT_BLOCK_KV, s // 2), 127, -128):
+            if s % cand == 0 and cand % 128 == 0:
+                block_kv = cand
+                break
+        if not block_kv:
+            raise ValueError(
+                f"cache length {s} has no lane-aligned block divisor; "
+                "round the cache up to a multiple of 128")
     num_kv_blocks = s // block_kv
     lengths = lengths.astype(jnp.int32)
 

@@ -53,10 +53,19 @@ def make_mesh(*, dp=1, fsdp=1, sp=1, tp=1, devices=None) -> Mesh:
     Axis order puts dp/fsdp outermost (DCN-friendly) and tp innermost
     (highest-bandwidth ICI neighbors for the most chatty collectives).
     """
+    explicit = devices is not None
     if devices is None:
         devices = jax.devices()
     shape = mesh_shape_for(len(devices), dp=dp, fsdp=fsdp, sp=sp, tp=tp)
-    arr = np.array(devices).reshape(
-        shape["dp"], shape["fsdp"], shape["sp"], shape["tp"]
-    )
+    dims = (shape["dp"], shape["fsdp"], shape["sp"], shape["tp"])
+    if not explicit:
+        # Lay axes along the physical ICI torus (enumeration-order
+        # reshape puts "neighbors" on non-adjacent chips for 2D/3D
+        # slices, silently degrading collective bandwidth).
+        try:
+            from jax.experimental import mesh_utils
+            return Mesh(mesh_utils.create_device_mesh(dims), AXES)
+        except Exception:
+            pass  # host-platform sims have no topology; fall through
+    arr = np.array(devices).reshape(*dims)
     return Mesh(arr, AXES)

@@ -61,7 +61,8 @@ def zigzag_order(n_seq: int, n_dev: int) -> np.ndarray:
     sequence splits into 2n chunks and device d's shard is chunks
     (d, 2n-1-d). Apply before sharding over the ring axis."""
     if n_seq % (2 * n_dev):
-        raise ValueError(f"seq {n_seq} must divide 2*n_dev={2 * n_dev}")
+        raise ValueError(
+            f"seq {n_seq} must be divisible by 2*n_dev={2 * n_dev}")
     c = n_seq // (2 * n_dev)
     chunks = np.arange(n_seq).reshape(2 * n_dev, c)
     order = []
@@ -78,6 +79,19 @@ def zigzag_inverse(n_seq: int, n_dev: int) -> np.ndarray:
 
 
 # --- forward ----------------------------------------------------------------
+
+
+def _rotate(t, n_dev, axis_name, perm, arrays):
+    """ppermute `arrays` one step around the ring — except after the
+    LAST compute step, whose rotation nobody consumes (XLA cannot DCE
+    inside fori_loop; for 8 devices with GB-scale KV shards the dead
+    rotation is a full extra chunk of ICI traffic per call)."""
+    return lax.cond(
+        t < n_dev - 1,
+        lambda xs: tuple(lax.ppermute(x, axis_name, perm) for x in xs),
+        lambda xs: xs,
+        arrays,
+    )
 
 
 def _merge(o_acc, lse_acc, o_new, lse_new):
@@ -121,9 +135,9 @@ def _ring_fwd_loop(q, k, v, *, axis_name, causal, layout, scale,
             o_acc, lse_acc, k_cur, v_cur = carry
             o_t, lse_t = full(q, k_cur, v_cur)
             o_acc, lse_acc = _merge(o_acc, lse_acc, o_t, lse_t)
-            return (o_acc, lse_acc,
-                    lax.ppermute(k_cur, axis_name, perm),
-                    lax.ppermute(v_cur, axis_name, perm))
+            k_cur, v_cur = _rotate(t, n_dev, axis_name, perm,
+                                   (k_cur, v_cur))
+            return (o_acc, lse_acc, k_cur, v_cur)
 
         o, lse, _, _ = lax.fori_loop(0, n_dev, step, (o0, lse0, k, v))
         return o, lse
@@ -139,9 +153,9 @@ def _ring_fwd_loop(q, k, v, *, axis_name, causal, layout, scale,
                 q, k_cur, v_cur,
             )
             o_acc, lse_acc = _merge(o_acc, lse_acc, o_t, lse_t)
-            return (o_acc, lse_acc,
-                    lax.ppermute(k_cur, axis_name, perm),
-                    lax.ppermute(v_cur, axis_name, perm))
+            k_cur, v_cur = _rotate(t, n_dev, axis_name, perm,
+                                   (k_cur, v_cur))
+            return (o_acc, lse_acc, k_cur, v_cur)
 
         o, lse, _, _ = lax.fori_loop(0, n_dev, step, (o0, lse0, k, v))
         return o, lse
@@ -184,9 +198,8 @@ def _ring_fwd_loop(q, k, v, *, axis_name, causal, layout, scale,
         )
         o1, l1 = _merge(o1, l1, oa, la)
         o2, l2 = _merge(o2, l2, ob, lb)
-        return (o1, l1, o2, l2,
-                lax.ppermute(k_cur, axis_name, perm),
-                lax.ppermute(v_cur, axis_name, perm))
+        k_cur, v_cur = _rotate(t, n_dev, axis_name, perm, (k_cur, v_cur))
+        return (o1, l1, o2, l2, k_cur, v_cur)
 
     o10, l10 = _skip_like(qa1)
     o20, l20 = _skip_like(qa2)
@@ -244,9 +257,11 @@ def _ring_bwd_loop(q, k, v, o, lse, do, *, axis_name, causal, layout,
             dq = dq + dq_t
             dk_cur = dk_cur + dk_t
             dv_cur = dv_cur + dv_t
-            return (dq,
-                    lax.ppermute(k_cur, axis_name, perm),
-                    lax.ppermute(v_cur, axis_name, perm),
+            # dk/dv rotate every step (the last rotation delivers them
+            # home); the k/v payloads are dead after the final compute.
+            k_cur, v_cur = _rotate(t, n_dev, axis_name, perm,
+                                   (k_cur, v_cur))
+            return (dq, k_cur, v_cur,
                     lax.ppermute(dk_cur, axis_name, perm),
                     lax.ppermute(dv_cur, axis_name, perm))
 
@@ -309,9 +324,8 @@ def _ring_bwd_loop(q, k, v, o, lse, do, *, axis_name, causal, layout,
             [dkb1_t + dkb1_c, dkb2_c], axis=2)
         dv_cur = dv_cur + jnp.concatenate(
             [dvb1_t + dvb1_c, dvb2_c], axis=2)
-        return (dq,
-                lax.ppermute(k_cur, axis_name, perm),
-                lax.ppermute(v_cur, axis_name, perm),
+        k_cur, v_cur = _rotate(t, n_dev, axis_name, perm, (k_cur, v_cur))
+        return (dq, k_cur, v_cur,
                 lax.ppermute(dk_cur, axis_name, perm),
                 lax.ppermute(dv_cur, axis_name, perm))
 
