@@ -29,9 +29,16 @@ from flash_attention_tpu.ops.variants import (
 )
 
 
+def _reject_causal(name, kw):
+    if kw.pop("causal", False):
+        raise ValueError(
+            f"{name} is a non-causal study kernel (the CUDA FA1s have no "
+            "causal path, SURVEY.md §2.3); use 'flash' or 'fa2_inloop'")
+    return kw
+
+
 def _fa1_o_only(q, k, v, **kw):
-    kw.pop("causal", None)  # study kernel is non-causal like the CUDA FA1s
-    return flash_attention_fa1(q, k, v, **kw)[0]
+    return flash_attention_fa1(q, k, v, **_reject_causal("fa1", kw))[0]
 
 
 IMPLEMENTATIONS: dict[str, Callable] = {
@@ -40,7 +47,7 @@ IMPLEMENTATIONS: dict[str, Callable] = {
     "reference_exact": attention_reference,
     # Pallas study kernels
     "naive_pallas": lambda q, k, v, **kw: naive_attention_pallas(
-        q, k, v, **{k_: v_ for k_, v_ in kw.items() if k_ != "causal"}
+        q, k, v, **_reject_causal("naive_pallas", kw)
     ),
     "fa1": _fa1_o_only,
     "fa2_inloop": flash_attention_fa2_inloop,

@@ -28,7 +28,13 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from flash_attention_tpu.config import LANES, cdiv, interpret_default, round_up
+from flash_attention_tpu.config import (
+    LANES,
+    SUBLANES,
+    cdiv,
+    interpret_default,
+    round_up,
+)
 
 
 def _kernel(x_ref, w_ref, s_ref, o_ref, acc_scr, *, nk):
@@ -69,7 +75,8 @@ def int8_matmul(x, w_q, w_scale, *, block_m=256, block_f=1024,
                          f"scale{w_scale.shape}")
     if interpret is None:
         interpret = interpret_default()
-    bm = min(block_m, round_up(m, 8))
+    sub = SUBLANES.get(jnp.dtype(x.dtype).itemsize, 8)
+    bm = min(block_m, round_up(m, sub))
     bf = min(block_f, round_up(f, LANES))
     bk = min(block_k, round_up(k, LANES))
     mp, fp, kp = round_up(m, bm), round_up(f, bf), round_up(k, bk)

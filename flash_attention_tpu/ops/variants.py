@@ -283,6 +283,8 @@ def flash_attention_fa2_inloop(q, k, v, *, causal=False, scale=None,
     """FA2-paper in-loop-normalized forward (study variant)."""
     batch, hq, nq, d = q.shape
     _, hkv, nk, _ = k.shape
+    if hq % hkv:
+        raise ValueError(f"Hq={hq} must be a multiple of Hkv={hkv}")
     group = hq // hkv
     if scale is None:
         scale = float(1.0 / np.sqrt(d))
@@ -290,7 +292,8 @@ def flash_attention_fa2_inloop(q, k, v, *, causal=False, scale=None,
     if interpret is None:
         interpret = interpret_default()
     if block_sizes is None:
-        block_sizes = default_block_sizes(nq, nk, d, jnp.dtype(q.dtype).name)
+        block_sizes = default_block_sizes(
+            nq, nk, d, jnp.dtype(q.dtype).name, causal)
     block_q = min(block_sizes.block_q, round_up(nq, LANES))
     block_kv = min(block_sizes.block_kv, round_up(nk, LANES))
     if nq % block_q or nk % block_kv:
@@ -398,7 +401,10 @@ def naive_attention_pallas(q, k, v, *, scale=None, block_sizes=None,
     the big configs anyway; see perf_2_32_8192_128's 16.9 GB truncation).
     """
     batch, h, nq, d = q.shape
-    _, _, nk, _ = k.shape
+    _, hkv, nk, _ = k.shape
+    if h != hkv:
+        raise ValueError("naive study kernel is MHA-only (Hq == Hkv); "
+                         f"got Hq={h}, Hkv={hkv}")
     if scale is None:
         scale = float(1.0 / np.sqrt(d))
     if interpret is None:

@@ -71,8 +71,11 @@ def measure(fn: Callable, *args, warmup: int = 5, iters: int = 10,
         device_sync(out)
         return time.perf_counter() - t0
 
+    out = None
     for _ in range(warmup):
         out = fn(*args, **kwargs)
+    if out is None:
+        out = fn(*args, **kwargs)   # warmup=0 still needs one compile
     device_sync(out)
 
     # Calibrate: grow the chain until kernel time dominates the sync
@@ -193,8 +196,9 @@ def find_max_batch(make_and_run: Callable[[int], None], *, start: int = 1,
     hi = start * 2
     while hi <= limit and fits(hi):
         lo, hi = hi, hi * 2
-    if hi > limit:
-        return lo
+    # Doubling may overshoot a non-power-of-two limit; the binary search
+    # still has to cover (lo, limit].
+    hi = min(hi, limit + 1)
     while hi - lo > 1:
         mid = (lo + hi) // 2
         if fits(mid):
