@@ -30,14 +30,17 @@ def main():
     v = jnp.asarray(rng.normal(0, 0.02, (B, H, N, D)), jnp.bfloat16)
 
     fn = jax.jit(lambda q, k, v: flash_attention(q, k, v))
-    # Best of 3 measurement rounds: the tunneled transport adds run-to-run
-    # variance that a single round can eat (~5%).
-    report = max(
-        (bench_attention("flash_fwd", fn, q, k, v, causal=False,
-                         warmup=3 if i == 0 else 1, iters=8, inner=5)
-         for i in range(3)),
-        key=lambda r: r.tflops_per_s,
-    )
+    # Median of 3 measurement rounds (all three recorded in the JSON so
+    # readers can see the spread): the tunneled transport adds run-to-run
+    # variance that a single round can eat (~5%), and best-of-N would
+    # bias the recorded number upward.
+    rounds = [
+        bench_attention("flash_fwd", fn, q, k, v, causal=False,
+                        warmup=3 if i == 0 else 1, iters=8, inner=5)
+        for i in range(3)
+    ]
+    ordered = sorted(rounds, key=lambda r: r.tflops_per_s)
+    report = ordered[len(ordered) // 2]
     print(
         json.dumps(
             {
@@ -46,6 +49,7 @@ def main():
                 "unit": "TFLOP/s",
                 "vs_baseline": round(report.tflops_per_s / BASELINE_TFLOPS, 2),
                 "latency_ms": round(report.timing.mean_ms, 3),
+                "rounds_tflops": [round(r.tflops_per_s, 2) for r in rounds],
                 "device": str(jax.devices()[0]),
             }
         )

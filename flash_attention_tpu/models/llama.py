@@ -286,6 +286,83 @@ def prefill_kv(params, tokens, cfg: LlamaConfig, *, true_len=None):
     return logits, jnp.stack(ks), jnp.stack(vs)
 
 
+def prefill_chunk_step(params, tokens, cfg: LlamaConfig, k_bufs, v_bufs,
+                       prefix_len, true_count):
+    """One chunk of an incremental (chunked) prefill.
+
+    The TTFT path: instead of one monolithic prompt forward that blocks
+    every live decode slot (the round-1 p50-TTFT weakness), the engine
+    interleaves fixed-size prompt chunks with decode steps. Attention
+    for a chunk is computed in two parts and LSE-merged (the same
+    recurrence the ring/decode paths use):
+
+      * chunk self-attention — causal flash kernel over the C new rows;
+      * prefix attention — non-causal flash kernel over the FULL padded
+        KV buffer [T], with positions >= prefix_len masked via segment
+        ids (runtime data, so every chunk of every prompt length reuses
+        ONE compiled program per bucket size).
+
+    Args:
+      tokens: [1, C] ids (garbage-padded past the prompt on the last
+        chunk — causal masking keeps real rows from seeing them).
+      k_bufs, v_bufs: [L, 1, Hkv, T, D] prompt KV buffers (donate them
+        in the jitted caller; the chunk's KV lands at prefix_len).
+      prefix_len: [] int32 — tokens already processed.
+      true_count: [] int32 — real tokens in THIS chunk (logits are read
+        at row true_count-1; only meaningful on the final chunk).
+
+    Returns (logits [1, vocab], k_bufs, v_bufs).
+    """
+    from flash_attention_tpu.ops.flash import (
+        SegmentIds,
+        flash_attention_fwd,
+    )
+
+    b, c = tokens.shape
+    n_layers, _, hkv, t_bucket, hd = k_bufs.shape
+    prefix_len = jnp.asarray(prefix_len, jnp.int32)
+    positions = prefix_len + jnp.arange(c, dtype=jnp.int32)[None, :]
+    # Prefix mask: kv ids flip to 1 at prefix_len; q ids stay 0 ->
+    # columns >= prefix_len are invisible. The segment-id mask is data,
+    # not shape, so chunks at every prefix reuse one compiled kernel.
+    seg = SegmentIds(
+        jnp.zeros((b, c), jnp.int32),
+        (jnp.arange(t_bucket, dtype=jnp.int32)[None, :]
+         >= prefix_len).astype(jnp.int32),
+    )
+    x = params["embed"][tokens]
+    new_ks, new_vs = [], []
+    for li, layer in enumerate(params["layers"]):
+        h = rmsnorm(x, layer["attn_norm"], cfg.norm_eps)
+        q = _mm("btd,dhk->bhtk", h, layer["wq"])
+        k = _mm("btd,dhk->bhtk", h, layer["wk"])
+        v = _mm("btd,dhk->bhtk", h, layer["wv"])
+        q = rope(q, positions, cfg.rope_theta)
+        k = rope(k, positions, cfg.rope_theta)
+        new_ks.append(k)
+        new_vs.append(v)
+        o_s, lse_s = flash_attention_fwd(q, k, v, causal=True, offset=0)
+        o_p, lse_p = flash_attention_fwd(
+            q, k_bufs[li].astype(q.dtype), v_bufs[li].astype(q.dtype),
+            seg, causal=False)
+        lse = jnp.logaddexp(lse_s, lse_p)            # [1, H, C, LANES]
+        o = (o_s.astype(jnp.float32) * jnp.exp(lse_s - lse)[..., :1]
+             + o_p.astype(jnp.float32) * jnp.exp(lse_p - lse)[..., :1])
+        x = x + _mm("bhtk,hkd->btd", o.astype(x.dtype), layer["wo"])
+        x = x + _mlp_block(layer, x, cfg)
+    k_bufs = jax.lax.dynamic_update_slice(
+        k_bufs, jnp.stack(new_ks).astype(k_bufs.dtype),
+        (0, 0, 0, prefix_len, 0))
+    v_bufs = jax.lax.dynamic_update_slice(
+        v_bufs, jnp.stack(new_vs).astype(v_bufs.dtype),
+        (0, 0, 0, prefix_len, 0))
+    x = rmsnorm(x, params["final_norm"], cfg.norm_eps)
+    idx = jnp.maximum(jnp.asarray(true_count, jnp.int32) - 1, 0)
+    last = jax.lax.dynamic_slice_in_dim(x, idx, 1, axis=1)[:, 0]
+    logits = _mm("bd,dv->bv", last, params["lm_head"])
+    return logits, k_bufs, v_bufs
+
+
 def _tail_attention(q, kt, vt, tail_pos, scale):
     """Exact attention of q [B, Hkv, G, D] over the dense tail buffer
     kt/vt [B, Hkv, T, D] with per-sequence valid count tail_pos+1.

@@ -38,7 +38,11 @@ from flash_attention_tpu.config import (
     round_up,
 )
 from flash_attention_tpu.ops.flash import INIT_M, LOG2E, MASK_VALUE
-from flash_attention_tpu.ops.quant import QUANT_BLOCK, QuantizedTensor
+from flash_attention_tpu.ops.quant import (
+    QUANT_BLOCK,
+    QuantizedTensor,
+    tile_to_f32,
+)
 
 # Measured on v5e (B=64, Hkv=8, S=4096, D=128, ragged lengths):
 #   bk=512: 337 GB/s | 1024: 430 | 2048: 497 | 4096: 478 (dense bf16)
@@ -53,8 +57,10 @@ def _dequant(tile_ref, scale_ref, jk, out_dtype):
     """tile [bk, D] int8/fp8 + full scale table [S/QUANT_BLOCK, D] ->
     [bk, D]. The whole per-(b,h) scale table rides in VMEM (it is ~16 KB)
     because Mosaic block shapes must be sublane-divisible; the kernel
-    slices the rows for kv block jk."""
-    tile = tile_ref[0, 0].astype(jnp.float32)
+    slices the rows for kv block jk. fp8 widens via the exact bit-plant
+    trick (ops/quant.py tile_to_f32), not Mosaic's slow fp8 emulation.
+    """
+    tile = tile_to_f32(tile_ref[0, 0])
     bk, d = tile.shape
     nb = bk // QUANT_BLOCK
     scales = scale_ref[0, 0, pl.ds(jk * nb, nb), :]   # [nb, D] f32
@@ -166,9 +172,13 @@ def flash_decode(q, k, v, lengths, *, scale=None, block_kv=DEFAULT_BLOCK_KV,
     elif s % block_kv:
         # Auto-shrink to the largest lane-aligned divisor of s so any
         # cache length works (callers need not know the block size).
+        # Iterate descending MULTIPLES of 128 (128 always divides a
+        # 128-multiple cache), so the error path only fires for
+        # genuinely misaligned lengths.
         block_kv = 0
-        for cand in range(min(DEFAULT_BLOCK_KV, s // 2), 127, -128):
-            if s % cand == 0 and cand % 128 == 0:
+        for cand in range(min(DEFAULT_BLOCK_KV, s // 2) // 128 * 128,
+                          0, -128):
+            if s % cand == 0:
                 block_kv = cand
                 break
         if not block_kv:

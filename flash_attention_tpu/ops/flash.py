@@ -197,8 +197,11 @@ def _mask_block(s, i, j, *, block_q, block_kv, causal, offset,
 def _dequant_tile(val_ref, scale_ref, out_dtype):
     """[bk, D] int8/fp8 tile + [bk/QUANT_BLOCK, D] scale rows -> [bk, D]
     in out_dtype: one VPU multiply feeding the MXU (ops/quant.py layout).
-    """
-    tile = val_ref[0, 0].astype(jnp.float32)
+    fp8 widens via the exact bit-plant trick (ops/quant.py tile_to_f32),
+    not Mosaic's slow fp8 emulation."""
+    from flash_attention_tpu.ops.quant import tile_to_f32
+
+    tile = tile_to_f32(val_ref[0, 0])
     scales = scale_ref[0, 0]
     bk, d = tile.shape
     nb = scales.shape[0]
@@ -632,8 +635,13 @@ def flash_attention_bwd(
     if block_sizes is None:
         block_sizes = default_block_sizes(
             nq, nk, d, jnp.dtype(q.dtype).name, causal)
-    block_q = min(block_sizes.block_q_dkv, round_up(nq, LANES))
-    block_kv = min(block_sizes.block_kv_dkv, round_up(nk, LANES))
+    # dQ and dKV run as separate kernels with independently tunable
+    # blocks (their working sets differ ~2x: dKV holds two accumulators
+    # and both the s and ds tiles; see config._bwd_footprint_bytes).
+    bq_dq = min(block_sizes.block_q_dq, round_up(nq, LANES))
+    bkv_dq = min(block_sizes.block_kv_dq, round_up(nk, LANES))
+    bq_dkv = min(block_sizes.block_q_dkv, round_up(nq, LANES))
+    bkv_dkv = min(block_sizes.block_kv_dkv, round_up(nk, LANES))
 
     delta = jnp.sum(
         do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1
@@ -642,8 +650,9 @@ def flash_attention_bwd(
         delta, (batch, hq, nq, LANES), (0, 1, 2)
     )
 
-    nq_pad = round_up(nq, block_q)
-    nk_pad = round_up(nk, block_kv)
+    # One shared padded layout serves both grids.
+    nq_pad = round_up(nq, int(np.lcm(bq_dq, bq_dkv)))
+    nk_pad = round_up(nk, int(np.lcm(bkv_dq, bkv_dkv)))
     q_padded, kv_padded = nq_pad != nq, nk_pad != nk
     pad_q = ((0, 0), (0, 0), (0, nq_pad - nq), (0, 0))
     segmented = segment_ids is not None
@@ -667,18 +676,18 @@ def flash_attention_bwd(
             qseg.astype(jnp.int32), (batch, nq_pad, LANES), (0, 1))
         kvseg = kvseg.astype(jnp.int32)
 
-    num_q_blocks = nq_pad // block_q
-    num_kv_blocks = nk_pad // block_kv
-
     common = dict(
         scale=scale, causal=causal, offset=offset,
-        block_q=block_q, block_kv=block_kv,
         q_len=nq, kv_len=nk, q_padded=q_padded, kv_padded=kv_padded,
         precision=_mxu_precision(q.dtype), window=window,
         segmented=segmented,
     )
 
     # --- dQ: grid over q blocks, sweep kv blocks sequentially.
+    block_q, block_kv = bq_dq, bkv_dq
+    num_q_blocks = nq_pad // block_q
+    num_kv_blocks = nk_pad // block_kv
+
     def qrow_index(b, h, i, j):
         return (b, h, i, 0)
 
@@ -705,7 +714,8 @@ def flash_attention_bwd(
         dq_inputs += [qseg_rep, kvseg]
     dq = pl.pallas_call(
         functools.partial(
-            _bwd_dq_kernel, num_kv_blocks=num_kv_blocks, **common
+            _bwd_dq_kernel, num_kv_blocks=num_kv_blocks,
+            block_q=block_q, block_kv=block_kv, **common
         ),
         grid=(batch, hq, num_q_blocks, num_kv_blocks),
         in_specs=dq_in_specs,
@@ -721,6 +731,9 @@ def flash_attention_bwd(
 
     # --- dK/dV: grid over kv blocks; inner dim sweeps (q-head-in-group ×
     # q blocks) so GQA head-group gradients accumulate in VMEM scratch.
+    block_q, block_kv = bq_dkv, bkv_dkv
+    num_q_blocks = nq_pad // block_q
+    num_kv_blocks = nk_pad // block_kv
     num_inner = group * num_q_blocks
 
     def first_valid_iq(jk):
@@ -770,7 +783,7 @@ def flash_attention_bwd(
     dk, dv = pl.pallas_call(
         functools.partial(
             _bwd_dkv_kernel, num_q_blocks=num_q_blocks, num_inner=num_inner,
-            **common,
+            block_q=block_q, block_kv=block_kv, **common,
         ),
         grid=(batch, hkv, num_kv_blocks, num_inner),
         in_specs=dkv_in_specs,

@@ -29,7 +29,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from flash_attention_tpu.config import LANES, interpret_default
 from flash_attention_tpu.ops.flash import INIT_M, LOG2E, MASK_VALUE
-from flash_attention_tpu.ops.quant import QUANT_BLOCK
+from flash_attention_tpu.ops.quant import QUANT_BLOCK, tile_to_f32
 
 DEFAULT_PAGE_SIZE = 256
 
@@ -63,8 +63,10 @@ def _paged_kernel(lengths_ref, pt_ref, q_ref, *rest, scale, page_size,
         if quantized:
             hkv, _, d = q.shape
             nb = page_size // QUANT_BLOCK
-            kt = k_ref[:, 0].astype(jnp.float32)     # [Hkv, ps, D]
-            vt = v_ref[:, 0].astype(jnp.float32)
+            # fp8 widens via the exact bit-plant trick (ops/quant.py
+            # tile_to_f32), not Mosaic's slow fp8 emulation.
+            kt = tile_to_f32(k_ref[:, 0])            # [Hkv, ps, D]
+            vt = tile_to_f32(v_ref[:, 0])
             k = (kt.reshape(hkv, nb, QUANT_BLOCK, d) *
                  kscale_ref[:, 0][:, :, None, :]).reshape(hkv, page_size, d)
             v = (vt.reshape(hkv, nb, QUANT_BLOCK, d) *

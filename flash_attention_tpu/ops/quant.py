@@ -25,6 +25,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 QUANT_BLOCK = 128  # tokens per scale block (= one lane-width of rows)
 
@@ -34,6 +35,48 @@ _QMAX = {
     jnp.dtype(jnp.float8_e4m3fn): 448.0,
     jnp.dtype(jnp.float8_e5m2): 57344.0,
 }
+
+# fp8 -> fp32 bit-plant parameters: (mantissa_bits, exponent_bias).
+# v5e has no fp8 compute units, and Mosaic's astype emulation of fp8
+# loads measured ~8x slower than bf16 (round-1 decode table). Instead,
+# `tile_to_f32` decodes on the VPU with integer ops: reinterpret the
+# fp8 byte as int8, shift the exponent+mantissa field into the fp32
+# layout (mantissa top-aligned: shift = 23 - man_bits), and ADD
+# (127 - fp8_bias) << 23 in the INTEGER domain — an exact exponent
+# rebias with no float multiply and, crucially, no fp32-subnormal
+# intermediates (TPU and XLA:CPU flush fp32 denormals to zero, which
+# breaks the multiply-by-2^k variant of this trick). fp8 subnormal
+# codes (exponent field 0) don't follow the normal formula; they decode
+# through an integer convert of the mantissa and a select. fp8 NaN/inf
+# bit patterns decode as large finite values — quantize_kv never
+# produces them (it clips to the finite max).
+_FP8_BIT_PLANT = {
+    jnp.dtype(jnp.float8_e4m3fn): (3, 7),
+    jnp.dtype(jnp.float8_e5m2): (2, 15),
+}
+
+
+def tile_to_f32(tile):
+    """Widen an int8/fp8 value tile to fp32 on the VPU (kernel helper).
+
+    int8 uses the native convert; fp8 uses the exact bit-plant above
+    (~8 integer VPU ops per element, vs Mosaic's slow fp8 emulation).
+    Bit-exact with `astype(float32)` on every finite fp8 code,
+    subnormals included.
+    """
+    dt = jnp.dtype(tile.dtype)
+    if dt not in _FP8_BIT_PLANT:
+        return tile.astype(jnp.float32)
+    man_bits, bias = _FP8_BIT_PLANT[dt]
+    shift = 23 - man_bits
+    b = lax.bitcast_convert_type(tile, jnp.int8).astype(jnp.int32)
+    mag = jnp.bitwise_and(b, 0x7F)
+    normal_bits = lax.shift_left(mag, shift) + ((127 - bias) << 23)
+    normal = lax.bitcast_convert_type(normal_bits, jnp.float32)
+    # Subnormal codes: value = mantissa * 2^(1 - bias - man_bits).
+    sub = mag.astype(jnp.float32) * float(2.0 ** (1 - bias - man_bits))
+    val = jnp.where(mag < (1 << man_bits), sub, normal)
+    return jnp.where(b >= 0, val, -val)  # int8 sign bit == fp8 sign bit
 
 
 @jax.tree_util.register_pytree_node_class

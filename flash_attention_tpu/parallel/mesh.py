@@ -9,13 +9,18 @@ had it scaled out). Axis conventions, in mesh-major order:
   sp    sequence parallel (ring attention rotates KV around this axis)
   tp    tensor parallel (heads / hidden sharded; activations collective)
 
-Multi-host: `jax.distributed.initialize()` before mesh creation makes
-`jax.devices()` span hosts; the same mesh code then lays axes across
-ICI within a slice and DCN between slices (dp/fsdp outermost so the
-slow axis carries only gradient reductions).
+Multi-host: call `initialize_distributed()` (below) before mesh
+creation; it wires `jax.distributed` so `jax.devices()` spans hosts,
+and the same mesh code then lays axes across ICI within a slice and
+DCN between slices (dp/fsdp outermost so the slow axis carries only
+gradient reductions). `scripts/launch_multihost.py` is the per-host
+launcher; `tests/test_multihost.py` exercises the real 2-process path
+on CPU (gloo-backed cross-process collectives).
 """
 
 from __future__ import annotations
+
+import os
 
 import numpy as np
 
@@ -24,6 +29,39 @@ from jax.sharding import Mesh
 
 
 AXES = ("dp", "fsdp", "sp", "tp")
+
+
+def initialize_distributed(coordinator_address: str | None = None,
+                           num_processes: int | None = None,
+                           process_id: int | None = None,
+                           local_device_ids=None) -> None:
+    """Bootstrap multi-host JAX. Call ONCE per process, before any
+    backend touch (device queries pin the local-only backend).
+
+    On Cloud TPU pods every argument auto-detects from the metadata
+    server — call with no arguments. Elsewhere (CPU/GPU clusters, the
+    gloo-backed CPU test rig) pass the coordinator explicitly, or set
+    FA_TPU_COORDINATOR / FA_TPU_NUM_PROCESSES / FA_TPU_PROCESS_ID (the
+    contract `scripts/launch_multihost.py` uses). No-op if the process
+    is already initialized or the run is single-process.
+    """
+    coordinator_address = coordinator_address or os.environ.get(
+        "FA_TPU_COORDINATOR")
+    if num_processes is None and "FA_TPU_NUM_PROCESSES" in os.environ:
+        num_processes = int(os.environ["FA_TPU_NUM_PROCESSES"])
+    if process_id is None and "FA_TPU_PROCESS_ID" in os.environ:
+        process_id = int(os.environ["FA_TPU_PROCESS_ID"])
+    if num_processes == 1:
+        return
+    already = getattr(jax._src.distributed.global_state, "client", None)
+    if already is not None:
+        return
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+        local_device_ids=local_device_ids,
+    )
 
 
 def mesh_shape_for(n_devices: int, *, dp=1, fsdp=1, sp=1, tp=1) -> dict:

@@ -382,6 +382,10 @@ def ring_attention(q, k, v, *, axis_name: str, causal: bool = False,
     """
     if layout not in ("contiguous", "zigzag"):
         raise ValueError(f"unknown layout {layout!r}")
+    if layout == "zigzag" and q.shape[2] % 2:
+        raise ValueError(
+            f"zigzag layout needs an even local sequence length (each "
+            f"shard is a chunk pair); got {q.shape[2]}")
     return _ring_attention(q, k, v, axis_name, causal, layout, scale,
                            block_sizes, interpret)
 

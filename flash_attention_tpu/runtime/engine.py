@@ -43,6 +43,7 @@ import numpy as np
 from flash_attention_tpu.models.llama import (
     LlamaConfig,
     decode_step_paged,
+    prefill_chunk_step,
     prefill_kv,
 )
 from flash_attention_tpu.runtime.kv_cache import (
@@ -64,6 +65,7 @@ class Request:
                                       # copy-on-write at flush boundaries)
     request_id: int = dataclasses.field(
         default_factory=lambda: next(_req_counter))
+    submit_ts: float | None = None    # set by Engine.submit (TTFT clock)
 
 
 @dataclasses.dataclass
@@ -73,6 +75,7 @@ class Completion:
     tokens: list                      # generated token ids
     finish_reason: str                # "stop" | "length"
     branch: int = 0                   # which of the request's n samples
+    ttft_s: float | None = None       # submit -> first token (branch 0)
 
 
 @dataclasses.dataclass
@@ -86,6 +89,24 @@ class _Slot:
     generated: list
     worst_pages: int                  # admission reservation
     branch: int = 0                   # fork index within the request
+    ttft_s: float | None = None
+
+
+@dataclasses.dataclass
+class _PrefillTask:
+    """In-flight chunked prefill: the prompt advances `chunk` tokens per
+    engine step while live decode slots keep decoding between chunks."""
+    request: Request
+    prompt: Any                       # np.int32 [T]
+    bucket: int                       # padded KV-buffer length
+    chunk: int                        # tokens per engine step
+    done: int                         # tokens processed so far
+    k_bufs: Any                       # [L, 1, Hkv, bucket, D]
+    v_bufs: Any
+    logits: Any                       # last chunk's logits [1, vocab]
+    need_pages: int                   # admission reservation (all forks)
+    worst: int                        # branch-0 reservation
+    branch_worst: int
 
 
 @dataclasses.dataclass
@@ -95,10 +116,20 @@ class EngineStats:
     engine_steps: int = 0
     prefill_s: float = 0.0
     decode_s: float = 0.0
+    ttft_s: list = dataclasses.field(default_factory=list)
 
     @property
     def decode_tokens_per_s(self) -> float:
         return self.decode_tokens / self.decode_s if self.decode_s else 0.0
+
+    def ttft_percentiles(self) -> dict:
+        """p50/p90/p99 time-to-first-token over completed requests
+        (seconds). BASELINE.json names p50 TTFT as a driver metric."""
+        if not self.ttft_s:
+            return {}
+        v = np.sort(np.asarray(self.ttft_s))
+        pick = lambda p: float(v[min(len(v) - 1, int(p * len(v)))])  # noqa: E731
+        return {"p50": pick(0.50), "p90": pick(0.90), "p99": pick(0.99)}
 
 
 def _bucket(n: int, lo: int = 64) -> int:
@@ -115,7 +146,8 @@ class Engine:
                  num_pages: int = 128, page_size: int = DEFAULT_PAGE_SIZE,
                  max_seq_len: int | None = None, cache_dtype=None,
                  tail_size: int | None = None, kv_quant_dtype=None,
-                 decode_chunk: int = 1, seed: int = 0):
+                 decode_chunk: int = 1, prefill_chunk: int | None = None,
+                 seed: int = 0):
         self.params = params
         self.cfg = cfg
         self.max_batch = max_batch
@@ -132,8 +164,18 @@ class Engine:
         )
         self.slots: list[_Slot | None] = [None] * max_batch
         self.pending: collections.deque[Request] = collections.deque()
+        self.prefilling: collections.deque[_PrefillTask] = \
+            collections.deque()
         self.stats = EngineStats()
         self._key = jax.random.PRNGKey(seed)
+
+        # Chunked prefill (TTFT): admit prompts as _PrefillTasks that
+        # advance `prefill_chunk` tokens per engine step, interleaved
+        # with decode. None = monolithic prefill at admission (lowest
+        # overhead when no decode traffic competes).
+        if prefill_chunk is not None and prefill_chunk < 1:
+            raise ValueError("prefill_chunk must be >= 1")
+        self.prefill_chunk = prefill_chunk
 
         self.decode_chunk = max(1, decode_chunk)
         if self.decode_chunk >= self.cache.tail_size:
@@ -174,16 +216,25 @@ class Engine:
         def _prefill(params, tokens, true_len):
             return prefill_kv(params, tokens, cfg, true_len=true_len)
 
+        def _prefill_chunk(params, tokens, k_bufs, v_bufs, prefix,
+                           true_count):
+            return prefill_chunk_step(
+                params, tokens, cfg, k_bufs, v_bufs, prefix, true_count)
+
         # Tails are donated (mutated per step); pages are read-only in
         # the decode step and flushed separately (kv_cache.flush_tails).
         self._decode_fn = jax.jit(_decode, donate_argnums=(4, 5))
         self._decode_chunk_fn = jax.jit(_decode_chunk,
                                         donate_argnums=(4, 5))
         self._prefill_fn = jax.jit(_prefill)
+        self._prefill_chunk_fn = jax.jit(_prefill_chunk,
+                                         donate_argnums=(2, 3))
 
     # --- scheduling -------------------------------------------------------
 
     def submit(self, request: Request) -> int:
+        if request.submit_ts is None:
+            request.submit_ts = time.perf_counter()
         self.pending.append(request)
         return request.request_id
 
@@ -195,8 +246,10 @@ class Engine:
         """Pages still owed to live sequences under worst-case growth:
         each slot's growth budget (worst_pages, which for forked
         branches already excludes the shared prompt pages) minus the
-        growth it has already materialized."""
-        owed = 0
+        growth it has already materialized. In-flight chunked prefills
+        hold their FULL reservation (their pages are not allocated until
+        the final chunk lands)."""
+        owed = sum(t.need_pages for t in self.prefilling)
         for s in self.slots:
             if s is None:
                 continue
@@ -208,6 +261,10 @@ class Engine:
                 if s.branch == 0 else 0)
             owed += max(0, budget - grown)
         return owed
+
+    def _promised_slots(self) -> int:
+        """Decode slots owed to in-flight chunked prefills."""
+        return sum(max(1, t.request.n) for t in self.prefilling)
 
     def _try_admit(self) -> list[Completion]:
         """FIFO admission into free slots, reserving worst-case pages.
@@ -239,11 +296,24 @@ class Engine:
                     f"{need} (usable {total_usable})")
             free_slots = [i for i, s in enumerate(self.slots)
                           if s is None]
-            if len(free_slots) < n:
+            if len(free_slots) - self._promised_slots() < n:
                 break
             if self.cache.free_pages - self._reserved_pages() < need:
                 break                       # wait for pages to free up
             self.pending.popleft()
+
+            if self.prefill_chunk is not None:
+                tb = _bucket(t)
+                shape = (self.cfg.n_layers, 1, self.cfg.n_kv_heads, tb,
+                         self.cfg.head_dim)
+                self.prefilling.append(_PrefillTask(
+                    request=req, prompt=prompt, bucket=tb,
+                    chunk=min(self.prefill_chunk, tb), done=0,
+                    k_bufs=jnp.zeros(shape, self.cfg.dtype),
+                    v_bufs=jnp.zeros(shape, self.cfg.dtype),
+                    logits=None, need_pages=need, worst=worst,
+                    branch_worst=branch_worst))
+                continue
 
             tb = _bucket(t)
             padded = np.zeros((1, tb), np.int32)
@@ -251,27 +321,70 @@ class Engine:
             t0 = time.perf_counter()
             logits, ks, vs = self._prefill_fn(
                 self.params, jnp.asarray(padded), true_len=t)
-            sid = self.cache.add_sequence(ks[:, 0, :, :t], vs[:, 0, :, :t])
-            sids = [sid] + [self.cache.fork_sequence(sid)
-                            for _ in range(n - 1)]
-            jax.block_until_ready(self.cache.k_pools)
+            jax.block_until_ready(logits)
             self.stats.prefill_s += time.perf_counter() - t0
-            self.stats.prefill_tokens += t
-
-            for branch, (slot_idx, bsid) in enumerate(
-                    zip(free_slots, sids)):
-                first = self._sample_one(logits[0], req.temperature)
-                slot = _Slot(request=req, seq_id=bsid, prompt_len=t,
-                             length=t, tail=0, next_token=first,
-                             generated=[first], branch=branch,
-                             worst_pages=worst if branch == 0
-                             else branch_worst)
-                fin = self._maybe_finish(slot)
-                if fin is not None:
-                    done.append(fin)
-                else:
-                    self.slots[slot_idx] = slot
+            done.extend(self._install_sequences(
+                req, logits, ks[:, 0, :, :t], vs[:, 0, :, :t], t,
+                worst, branch_worst))
         return done
+
+    def _install_sequences(self, req, logits, ks, vs, t, worst,
+                           branch_worst) -> list[Completion]:
+        """Prompt KV is ready: page it in, fork n-1 branches, fill decode
+        slots, sample + timestamp the first token (TTFT)."""
+        done = []
+        n = max(1, req.n)
+        free_slots = [i for i, s in enumerate(self.slots) if s is None]
+        sid = self.cache.add_sequence(ks, vs)
+        sids = [sid] + [self.cache.fork_sequence(sid)
+                        for _ in range(n - 1)]
+        jax.block_until_ready(self.cache.k_pools)
+        self.stats.prefill_tokens += t
+        ttft = (time.perf_counter() - req.submit_ts
+                if req.submit_ts is not None else None)
+        if ttft is not None:
+            self.stats.ttft_s.append(ttft)
+
+        for branch, (slot_idx, bsid) in enumerate(zip(free_slots, sids)):
+            first = self._sample_one(logits[0], req.temperature)
+            slot = _Slot(request=req, seq_id=bsid, prompt_len=t,
+                         length=t, tail=0, next_token=first,
+                         generated=[first], branch=branch,
+                         worst_pages=worst if branch == 0
+                         else branch_worst, ttft_s=ttft)
+            fin = self._maybe_finish(slot)
+            if fin is not None:
+                done.append(fin)
+            else:
+                self.slots[slot_idx] = slot
+        return done
+
+    def _step_prefill(self) -> list[Completion]:
+        """Advance the head prefill task by one chunk; on the final
+        chunk, install the sequence into decode slots."""
+        if not self.prefilling:
+            return []
+        task = self.prefilling[0]
+        t = len(task.prompt)
+        start = task.done
+        c = task.chunk
+        chunk = np.zeros((1, c), np.int32)
+        real = min(c, t - start)
+        chunk[0, :real] = task.prompt[start:start + real]
+        t0 = time.perf_counter()
+        task.logits, task.k_bufs, task.v_bufs = self._prefill_chunk_fn(
+            self.params, jnp.asarray(chunk), task.k_bufs, task.v_bufs,
+            np.int32(start), np.int32(real))
+        jax.block_until_ready(task.logits)
+        self.stats.prefill_s += time.perf_counter() - t0
+        task.done = start + real
+        if task.done < t:
+            return []
+        self.prefilling.popleft()
+        return self._install_sequences(
+            task.request, task.logits,
+            task.k_bufs[:, 0, :, :t], task.v_bufs[:, 0, :, :t], t,
+            task.worst, task.branch_worst)
 
     def _maybe_finish(self, slot: _Slot) -> Completion | None:
         req = slot.request
@@ -286,7 +399,7 @@ class Engine:
         return Completion(
             request_id=req.request_id, prompt_len=slot.prompt_len,
             tokens=list(slot.generated), finish_reason=reason,
-            branch=slot.branch,
+            branch=slot.branch, ttft_s=slot.ttft_s,
         )
 
     # --- sampling ---------------------------------------------------------
@@ -314,10 +427,12 @@ class Engine:
     # --- engine step ------------------------------------------------------
 
     def step(self) -> list[Completion]:
-        """One engine iteration: admit, one fused decode dispatch of
+        """One engine iteration: admit, advance one prefill chunk (when
+        chunked prefill is on), one fused decode dispatch of
         `decode_chunk` steps, collect finished sequences. Returns
         completions finished this step."""
         done = self._try_admit()
+        done.extend(self._step_prefill())
         live = [i for i, s in enumerate(self.slots) if s is not None]
         if not live:
             self.stats.engine_steps += 1
@@ -396,6 +511,6 @@ class Engine:
         for r in requests or []:
             self.submit(r)
         out = []
-        while self.pending or self.num_active:
+        while self.pending or self.prefilling or self.num_active:
             out.extend(self.step())
         return sorted(out, key=lambda c: (c.request_id, c.branch))

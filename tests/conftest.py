@@ -25,6 +25,19 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+def pytest_collection_modifyitems(config, items):
+    """Default run skips @pytest.mark.slow (long e2e: engine loops, ring
+    training, multi-process) so the working signal stays under ~5 min.
+    Full suite: FA_TPU_FULL_SUITE=1, or select explicitly with -m."""
+    if os.environ.get("FA_TPU_FULL_SUITE") or config.getoption("-m"):
+        return
+    skip = pytest.mark.skip(
+        reason="slow e2e (FA_TPU_FULL_SUITE=1 or -m slow to run)")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
+
+
 @pytest.fixture
 def rng():
     """Seeded generator; reference uses mt19937(42) / manual_seed(0)

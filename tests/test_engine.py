@@ -55,6 +55,7 @@ def test_engine_matches_contiguous_greedy(params, rng):
         assert by_id[req.request_id].prompt_len == len(prompt)
 
 
+@pytest.mark.slow
 def test_engine_more_requests_than_slots(params, rng):
     """Requests beyond max_batch queue up and recycle freed slots."""
     prompts = [list(rng.integers(0, CFG.vocab_size, 5 + i))
@@ -90,6 +91,7 @@ def test_engine_page_boundary_crossing(params, rng):
     assert c.tokens == ref_greedy(params, prompt, 6)
 
 
+@pytest.mark.slow
 def test_engine_admission_defers_under_pressure(params, rng):
     """With pages for only one worst-case sequence, requests serialize
     but all complete."""
@@ -106,6 +108,7 @@ def test_engine_admission_defers_under_pressure(params, rng):
         assert c.tokens == ref_greedy(params, p, 4)
 
 
+@pytest.mark.slow
 def test_engine_temperature_sampling_runs(params, rng):
     """Stochastic path: shapes/liveness only (no fixed-point contract)."""
     prompt = list(rng.integers(0, CFG.vocab_size, 6))
@@ -143,6 +146,7 @@ def test_engine_tail_flush_exactness(params, rng):
     assert c.tokens == ref_greedy(params, prompt, 13)
 
 
+@pytest.mark.slow
 def test_engine_tail_flush_mixed_slots(params, rng):
     """Flush with a mix of live, finished, and freshly admitted slots."""
     prompts = [list(rng.integers(0, CFG.vocab_size, 5 + 3 * i))
@@ -158,6 +162,7 @@ def test_engine_tail_flush_mixed_slots(params, rng):
         assert c.tokens == ref_greedy(params, p, n)
 
 
+@pytest.mark.slow
 def test_engine_chunked_decode_matches_greedy(params, rng):
     """decode_chunk > 1 (one dispatch per chunk, on-device resampling)
     must produce identical greedy outputs, including eos mid-chunk and
@@ -223,6 +228,7 @@ def test_cache_fork_cow_isolation(rng):
     cache.free_sequence(b)
 
 
+@pytest.mark.slow
 def test_engine_fork_n_greedy_branches_identical(params, rng):
     """n=3 greedy branches must all equal the reference generation and
     share prompt pages (cheaper than 3 independent admissions)."""
@@ -236,3 +242,51 @@ def test_engine_fork_n_greedy_branches_identical(params, rng):
     for c in comps:
         assert c.tokens == want
     assert eng.cache.free_pages == free0  # all pages reclaimed
+
+
+def test_engine_chunked_prefill_matches_greedy(params, rng):
+    """Chunked prefill (TTFT path): transcripts identical to the
+    monolithic-prefill engine, TTFT recorded per request."""
+    prompts = [
+        list(rng.integers(0, CFG.vocab_size, 100)),   # 4 chunks of 32
+        list(rng.integers(0, CFG.vocab_size, 17)),    # single sub-chunk
+    ]
+    eng = make_engine(params, prefill_chunk=32)
+    completions = eng.run(
+        [Request(prompt=p, max_new_tokens=5) for p in prompts])
+    assert len(completions) == 2
+    by_len = {c.prompt_len: c for c in completions}
+    for p in prompts:
+        got = by_len[len(p)].tokens
+        want = ref_greedy(params, p, 5)
+        assert got == want, (got, want)
+        assert by_len[len(p)].ttft_s is not None
+        assert by_len[len(p)].ttft_s > 0
+    assert eng.stats.ttft_percentiles()["p50"] > 0
+
+
+@pytest.mark.slow
+def test_engine_chunked_prefill_interleaves_decode(params, rng):
+    """A long prompt admitted mid-stream must NOT stall live decode:
+    with chunked prefill the live slot keeps producing tokens while the
+    new prompt prefills chunk by chunk."""
+    eng = make_engine(params, prefill_chunk=32)
+    p1 = list(rng.integers(0, CFG.vocab_size, 9))
+    eng.submit(Request(prompt=p1, max_new_tokens=24))
+    eng.step()                                 # admit + first decode
+    live_before = [s for s in eng.slots if s is not None]
+    assert live_before, "first request should be decoding"
+    n_before = len(live_before[0].generated)
+
+    p2 = list(rng.integers(0, CFG.vocab_size, 120))  # 4 chunks
+    eng.submit(Request(prompt=p2, max_new_tokens=4))
+    for _ in range(3):
+        eng.step()                             # prefill chunks 1..3
+    assert eng.prefilling, "long prompt should still be prefilling"
+    live = [s for s in eng.slots if s is not None]
+    assert live and len(live[0].generated) > n_before, (
+        "decode stalled during chunked prefill")
+    out = eng.run()
+    by_len = {c.prompt_len: c for c in out}
+    assert by_len[len(p1)].tokens == ref_greedy(params, p1, 24)
+    assert by_len[len(p2)].tokens == ref_greedy(params, p2, 4)

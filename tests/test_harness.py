@@ -63,6 +63,7 @@ def test_graft_entry_single():
     assert o.ndim == 3
 
 
+@pytest.mark.slow
 def test_graft_entry_multichip():
     import __graft_entry__ as g
     g.dryrun_multichip(len(jax.devices()))

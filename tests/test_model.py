@@ -52,6 +52,7 @@ def test_forward_is_causal(params, tokens):
         atol=1e-5)
 
 
+@pytest.mark.slow
 def test_loss_decreases_under_training(params, tokens):
     opt = optax.adamw(3e-3)
     step = jax.jit(make_train_step(CFG, opt))
@@ -65,6 +66,7 @@ def test_loss_decreases_under_training(params, tokens):
     assert np.isfinite(losses).all()
 
 
+@pytest.mark.slow
 def test_remat_matches_no_remat(params, tokens):
     a = loss_fn(params, tokens, CFG, remat=False)
     b = loss_fn(params, tokens, CFG, remat=True)
@@ -107,6 +109,7 @@ def test_sample_top_k(rng):
         assert t in top5[i]
 
 
+@pytest.mark.slow
 def test_sharded_train_step_on_mesh(tokens):
     """Full fsdp x tp sharded training step — the multi-chip path the
     driver dry-runs."""

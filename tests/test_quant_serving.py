@@ -102,7 +102,11 @@ def _teacher_forced_nll(params, tokens, cache, steps):
     return float(np.mean(nll))
 
 
-@pytest.mark.parametrize("qdtype", [jnp.int8, jnp.float8_e4m3fn])
+@pytest.mark.parametrize("qdtype", [
+    pytest.param(jnp.int8, marks=pytest.mark.slow),
+    jnp.float8_e4m3fn,
+    jnp.float8_e5m2,
+])
 def test_quant_ppl_delta_gate(params, rng, qdtype):
     """North-star gate: teacher-forced perplexity delta of INT8/FP8
     paged KV vs dense paged KV must be <= 0.05."""

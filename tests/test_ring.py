@@ -46,6 +46,7 @@ def test_ring_attention_matches_reference(rng, causal):
     assert report.passed, str(report)
 
 
+@pytest.mark.slow
 def test_ring_attention_gqa_with_dp(rng):
     # Compose dp x sp; GQA heads.
     mesh = make_mesh(dp=2, sp=4)
@@ -70,6 +71,7 @@ def test_zigzag_permutation_roundtrip():
     np.testing.assert_array_equal(p[:4], [0, 1, 14, 15])
 
 
+@pytest.mark.slow
 def test_ring_attention_zigzag_causal_matches_reference(rng):
     n_dev = len(jax.devices())
     mesh = make_mesh(sp=n_dev)
@@ -89,9 +91,9 @@ def test_ring_attention_zigzag_causal_matches_reference(rng):
 
 
 @pytest.mark.parametrize("causal,layout", [
-    (False, "contiguous"),
+    pytest.param(False, "contiguous", marks=pytest.mark.slow),
     (True, "contiguous"),
-    (True, "zigzag"),
+    pytest.param(True, "zigzag", marks=pytest.mark.slow),
 ])
 def test_ring_attention_gradients_match_reference(rng, causal, layout):
     """Ring custom-VJP (rotating dK/dV accumulators) vs autodiff through
@@ -148,6 +150,7 @@ def test_ring_attention_jit_compiles_with_sharding(rng):
     assert out.sharding.spec == P(None, None, "sp", None)
 
 
+@pytest.mark.slow
 def test_ring_attention_inside_model_training(rng):
     """Long-context training e2e: the model's attention runs ring
     attention over an sp mesh (differentiable custom-VJP path); the

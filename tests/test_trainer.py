@@ -41,6 +41,7 @@ def test_checkpoint_retention(tmp_path):
         restore_checkpoint(tmp_path / "ck", step=1, template=state)
 
 
+@pytest.mark.slow
 def test_trainer_resume_is_exact(tmp_path, rng):
     """Train 4 steps with a checkpoint at 2; a fresh Trainer must resume
     from step 2 and reproduce steps 3-4 bit-for-bit."""
@@ -75,6 +76,7 @@ def test_trainer_resume_is_exact(tmp_path, rng):
     np.testing.assert_allclose(l1, l2, rtol=0, atol=0)
 
 
+@pytest.mark.slow
 def test_trainer_loss_decreases(rng):
     opt = optax.adamw(3e-3)
     t = Trainer(CFG, opt, seed=0)
