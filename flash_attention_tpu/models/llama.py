@@ -118,6 +118,37 @@ def init_params(cfg: LlamaConfig, key) -> dict:
     }
 
 
+def serving_param_shardings(cfg: LlamaConfig, tp_size: int) -> dict:
+    """PartitionSpecs for TP serving (Engine under a mesh): the Megatron
+    column/row split where each decode matmul is local to a shard and
+    exactly one psum per block stitches the residual stream back
+    together — attention qkv/wo split over heads (tp must divide
+    n_kv_heads so each shard owns whole KV-head groups and its slice of
+    the paged pools), mlp gate/up/down over ffn, lm_head over vocab
+    (logits all-gather at the end). Embeddings/norms replicate: serving
+    batches are small and the embed row gather per step is cheap."""
+    if cfg.n_kv_heads % tp_size:
+        raise ValueError(
+            f"tp={tp_size} must divide n_kv_heads={cfg.n_kv_heads}")
+    layer = {
+        "attn_norm": P(),
+        "wq": P(None, "tp", None),
+        "wk": P(None, "tp", None),
+        "wv": P(None, "tp", None),
+        "wo": P("tp", None, None),
+        "mlp_norm": P(),
+        "w_gate": P(None, "tp"),
+        "w_up": P(None, "tp"),
+        "w_down": P("tp", None),
+    }
+    return {
+        "embed": P(),
+        "layers": [layer] * cfg.n_layers,
+        "final_norm": P(),
+        "lm_head": P(None, "tp"),
+    }
+
+
 def param_shardings(cfg: LlamaConfig, tp_size: int | None = None) -> dict:
     """PartitionSpecs: tp over heads/ffn, fsdp over the other big dim.
 
@@ -159,6 +190,11 @@ def _mm(spec, x, w):
     return jnp.einsum(spec, x, w)
 
 
+def _psum(x, axis_name):
+    """Row-parallel reduction: identity outside shard_map (axis None)."""
+    return x if axis_name is None else jax.lax.psum(x, axis_name)
+
+
 def rmsnorm(x, w, eps):
     xf = x.astype(jnp.float32)
     scale = jax.lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True) + eps)
@@ -180,10 +216,13 @@ def rope(x, positions, theta):
     return out.astype(x.dtype)
 
 
-def _attention_block(layer, x, cfg, positions, attn_impl=None):
+def _attention_block(layer, x, cfg, positions, attn_impl=None,
+                     tp_axis=None):
     """Full-sequence attention block (training / prefill). Returns
     (out [B,T,dim], (k, v) for cache insertion). Decode paths live in
-    decode_step / decode_step_paged."""
+    decode_step / decode_step_paged. Under TP (tp_axis set, inside
+    shard_map with serving_param_shardings) the head dims are local
+    shards and the wo row-matmul psums back to the full residual."""
     h = rmsnorm(x, layer["attn_norm"], cfg.norm_eps)
     q = _mm("btd,dhk->bhtk", h, layer["wq"])
     k = _mm("btd,dhk->bhtk", h, layer["wk"])
@@ -193,16 +232,16 @@ def _attention_block(layer, x, cfg, positions, attn_impl=None):
     if attn_impl is None:
         attn_impl = functools.partial(flash_attention, causal=True)
     o = attn_impl(q, k, v)
-    out = _mm("bhtk,hkd->btd", o, layer["wo"])
+    out = _psum(_mm("bhtk,hkd->btd", o, layer["wo"]), tp_axis)
     return out, (k, v)
 
 
-def _mlp_block(layer, x, cfg):
+def _mlp_block(layer, x, cfg, tp_axis=None):
     h = rmsnorm(x, layer["mlp_norm"], cfg.norm_eps)
     gate = _mm("btd,df->btf", h, layer["w_gate"])
     up = _mm("btd,df->btf", h, layer["w_up"])
-    return _mm("btf,fd->btd", jax.nn.silu(gate) * up,
-               layer["w_down"])
+    return _psum(_mm("btf,fd->btd", jax.nn.silu(gate) * up,
+                     layer["w_down"]), tp_axis)
 
 
 def forward(params, tokens, cfg: LlamaConfig, *, positions=None,
@@ -258,23 +297,36 @@ def make_train_step(cfg: LlamaConfig, optimizer, *, remat: bool = False):
 # --- decode path ----------------------------------------------------------
 
 
-def prefill_kv(params, tokens, cfg: LlamaConfig, *, true_len=None):
+def _lm_head_logits(params, last, tp_axis):
+    """lm_head matmul; under TP the vocab dim is column-sharded and the
+    full logits row reassembles with a tiled all-gather."""
+    logits = _mm("bd,dv->bv", last, params["lm_head"])
+    if tp_axis is not None:
+        logits = jax.lax.all_gather(logits, tp_axis, axis=1, tiled=True)
+    return logits
+
+
+def prefill_kv(params, tokens, cfg: LlamaConfig, *, true_len=None,
+               tp_axis=None):
     """Prompt forward for paged serving: returns (logits_at_last_token
     [B, vocab], ks, vs) where ks/vs are [n_layers, B, Hkv, T, D] stacks
     ready for page scatter. `true_len` ([B] or int) marks the real prompt
     length when `tokens` is right-padded to a compile bucket — logits are
     taken at position true_len-1 and padded KV positions are garbage the
-    caller must not write into pages."""
+    caller must not write into pages. Under TP (inside shard_map with
+    serving_param_shardings) the returned ks/vs carry the LOCAL KV-head
+    shard, matching the tp-sharded pools."""
     b, t = tokens.shape
     positions = jnp.arange(t, dtype=jnp.int32)
     x = params["embed"][tokens]
     ks, vs = [], []
     for layer in params["layers"]:
-        a, (k, v) = _attention_block(layer, x, cfg, positions)
+        a, (k, v) = _attention_block(layer, x, cfg, positions,
+                                     tp_axis=tp_axis)
         ks.append(k)
         vs.append(v)
         x = x + a
-        x = x + _mlp_block(layer, x, cfg)
+        x = x + _mlp_block(layer, x, cfg, tp_axis=tp_axis)
     x = rmsnorm(x, params["final_norm"], cfg.norm_eps)
     if true_len is None:
         last = x[:, -1]
@@ -282,12 +334,12 @@ def prefill_kv(params, tokens, cfg: LlamaConfig, *, true_len=None):
         idx = jnp.asarray(true_len, jnp.int32) - 1
         idx = jnp.broadcast_to(idx, (b,))
         last = jnp.take_along_axis(x, idx[:, None, None], axis=1)[:, 0]
-    logits = _mm("bd,dv->bv", last, params["lm_head"])
+    logits = _lm_head_logits(params, last, tp_axis)
     return logits, jnp.stack(ks), jnp.stack(vs)
 
 
 def prefill_chunk_step(params, tokens, cfg: LlamaConfig, k_bufs, v_bufs,
-                       prefix_len, true_count):
+                       prefix_len, true_count, tp_axis=None):
     """One chunk of an incremental (chunked) prefill.
 
     The TTFT path: instead of one monolithic prompt forward that blocks
@@ -319,7 +371,7 @@ def prefill_chunk_step(params, tokens, cfg: LlamaConfig, k_bufs, v_bufs,
     )
 
     b, c = tokens.shape
-    n_layers, _, hkv, t_bucket, hd = k_bufs.shape
+    n_layers, _, hkv, t_bucket, hd = k_bufs.shape  # hkv = LOCAL shard under TP
     prefix_len = jnp.asarray(prefix_len, jnp.int32)
     positions = prefix_len + jnp.arange(c, dtype=jnp.int32)[None, :]
     # Prefix mask: kv ids flip to 1 at prefix_len; q ids stay 0 ->
@@ -348,8 +400,9 @@ def prefill_chunk_step(params, tokens, cfg: LlamaConfig, k_bufs, v_bufs,
         lse = jnp.logaddexp(lse_s, lse_p)            # [1, H, C, LANES]
         o = (o_s.astype(jnp.float32) * jnp.exp(lse_s - lse)[..., :1]
              + o_p.astype(jnp.float32) * jnp.exp(lse_p - lse)[..., :1])
-        x = x + _mm("bhtk,hkd->btd", o.astype(x.dtype), layer["wo"])
-        x = x + _mlp_block(layer, x, cfg)
+        x = x + _psum(
+            _mm("bhtk,hkd->btd", o.astype(x.dtype), layer["wo"]), tp_axis)
+        x = x + _mlp_block(layer, x, cfg, tp_axis=tp_axis)
     k_bufs = jax.lax.dynamic_update_slice(
         k_bufs, jnp.stack(new_ks).astype(k_bufs.dtype),
         (0, 0, 0, prefix_len, 0))
@@ -359,7 +412,7 @@ def prefill_chunk_step(params, tokens, cfg: LlamaConfig, k_bufs, v_bufs,
     x = rmsnorm(x, params["final_norm"], cfg.norm_eps)
     idx = jnp.maximum(jnp.asarray(true_count, jnp.int32) - 1, 0)
     last = jax.lax.dynamic_slice_in_dim(x, idx, 1, axis=1)[:, 0]
-    logits = _mm("bd,dv->bv", last, params["lm_head"])
+    logits = _lm_head_logits(params, last, tp_axis)
     return logits, k_bufs, v_bufs
 
 
@@ -390,7 +443,7 @@ def _tail_attention(q, kt, vt, tail_pos, scale):
 
 def decode_step_paged(params, token, cfg: LlamaConfig, k_pages, v_pages,
                       k_tails, v_tails, page_tables, paged_lens, tail_pos,
-                      k_scales=None, v_scales=None):
+                      k_scales=None, v_scales=None, tp_axis=None):
     """One decode step: paged prefix (READ-ONLY Pallas kernel) + dense
     hot-tail buffer (jnp attention, scattered in place).
 
@@ -406,13 +459,20 @@ def decode_step_paged(params, token, cfg: LlamaConfig, k_pages, v_pages,
     paged_lens 0 and tail_pos 0 (their tail write is garbage-in,
     output-unused).
 
+    Under TP (tp_axis set, inside shard_map with
+    serving_param_shardings + tp-sharded pools/tails) every matmul and
+    the attention kernel run on the LOCAL head shard; one psum per
+    block and a logits all-gather reassemble the result — the
+    collectives ride the innermost (fastest-ICI) mesh axis.
+
     Returns (logits [B, vocab], k_tails, v_tails).
     """
     from flash_attention_tpu.ops.paged import paged_flash_decode
 
     b = token.shape[0]
-    hkv = cfg.n_kv_heads
-    group = cfg.n_heads // hkv
+    hkv = k_tails[0].shape[1]          # LOCAL kv heads (= cfg's under tp=1)
+    group = cfg.n_heads // cfg.n_kv_heads
+    n_heads_local = hkv * group
     scale = 1.0 / float(np.sqrt(cfg.head_dim))
     positions = (paged_lens + tail_pos)[:, None]      # [B, 1]
     bidx = jnp.arange(b)
@@ -444,11 +504,12 @@ def decode_step_paged(params, token, cfg: LlamaConfig, k_pages, v_pages,
         lse = jnp.logaddexp(lse_p, lse_t)
         o = (o_p * jnp.exp(lse_p - lse)[..., None]
              + o_t * jnp.exp(lse_t - lse)[..., None])
-        o = o.reshape(b, cfg.n_heads, cfg.head_dim).astype(x.dtype)[:, :, None]
-        x = x + _mm("bhtk,hkd->btd", o, layer["wo"])
-        x = x + _mlp_block(layer, x, cfg)
+        o = o.reshape(b, n_heads_local,
+                      cfg.head_dim).astype(x.dtype)[:, :, None]
+        x = x + _psum(_mm("bhtk,hkd->btd", o, layer["wo"]), tp_axis)
+        x = x + _mlp_block(layer, x, cfg, tp_axis=tp_axis)
     x = rmsnorm(x, params["final_norm"], cfg.norm_eps)
-    logits = _mm("bd,dv->bv", x[:, 0], params["lm_head"])
+    logits = _lm_head_logits(params, x[:, 0], tp_axis)
     return logits, new_k_tails, new_v_tails
 
 

@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import collections
 import dataclasses
+import functools
 import itertools
 import time
 from typing import Any
@@ -45,6 +46,7 @@ from flash_attention_tpu.models.llama import (
     decode_step_paged,
     prefill_chunk_step,
     prefill_kv,
+    serving_param_shardings,
 )
 from flash_attention_tpu.runtime.kv_cache import (
     DEFAULT_PAGE_SIZE,
@@ -147,10 +149,11 @@ class Engine:
                  max_seq_len: int | None = None, cache_dtype=None,
                  tail_size: int | None = None, kv_quant_dtype=None,
                  decode_chunk: int = 1, prefill_chunk: int | None = None,
-                 seed: int = 0):
+                 mesh=None, seed: int = 0):
         self.params = params
         self.cfg = cfg
         self.max_batch = max_batch
+        self.mesh = mesh
         if max_seq_len is None:
             max_seq_len = num_pages * page_size
         self.max_seq_len = max_seq_len
@@ -181,12 +184,50 @@ class Engine:
         if self.decode_chunk >= self.cache.tail_size:
             raise ValueError("decode_chunk must be < tail_size")
 
+        # --- TP sharding (mesh mode) ---------------------------------
+        # Engine under a mesh: params laid out per
+        # serving_param_shardings, KV pools/tails sharded over the tp
+        # axis on their kv-head dim, every model dispatch a shard_map
+        # whose per-block psum + logits all-gather ride the innermost
+        # mesh axis. Host-side scheduling is unchanged — the scheduler
+        # never looks inside device arrays.
+        tp_axis = None
+        self._buf_spec = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            tp_axis = "tp"
+            tp = mesh.shape["tp"]
+            pspecs = serving_param_shardings(cfg, tp)
+            self.params = params = jax.tree.map(
+                lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+                params, pspecs)
+            pool_spec = [P("tp", None, None, None)] * cfg.n_layers
+            tail_spec = [P(None, "tp", None, None)] * cfg.n_layers
+            scale_spec = (pool_spec if kv_quant_dtype is not None
+                          else P())
+            self._buf_spec = P(None, None, "tp", None, None)
+
+            def put(arrs, spec):
+                return [jax.device_put(a, NamedSharding(mesh, s))
+                        for a, s in zip(arrs, spec)]
+
+            self.cache.k_pools = put(self.cache.k_pools, pool_spec)
+            self.cache.v_pools = put(self.cache.v_pools, pool_spec)
+            self.cache.k_tails = put(self.cache.k_tails, tail_spec)
+            self.cache.v_tails = put(self.cache.v_tails, tail_spec)
+            if kv_quant_dtype is not None:
+                self.cache.k_scale_pools = put(
+                    self.cache.k_scale_pools, pool_spec)
+                self.cache.v_scale_pools = put(
+                    self.cache.v_scale_pools, pool_spec)
+
         def _decode(params, token, k_pages, v_pages, k_tails, v_tails,
                     tables, paged_lens, tail_pos, k_scales, v_scales):
             return decode_step_paged(
                 params, token, cfg, k_pages, v_pages, k_tails, v_tails,
                 tables, paged_lens, tail_pos,
-                k_scales=k_scales, v_scales=v_scales)
+                k_scales=k_scales, v_scales=v_scales, tp_axis=tp_axis)
 
         def _decode_chunk(params, token, k_pages, v_pages, k_tails,
                           v_tails, tables, paged_lens, tail_pos,
@@ -200,7 +241,8 @@ class Engine:
                 logits, kt, vt = decode_step_paged(
                     params, tok, cfg, k_pages, v_pages, kt, vt,
                     tables, paged_lens, tail_pos + i,
-                    k_scales=k_scales, v_scales=v_scales)
+                    k_scales=k_scales, v_scales=v_scales,
+                    tp_axis=tp_axis)
                 greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
                 cat = jax.random.categorical(
                     jax.random.fold_in(key, i),
@@ -214,12 +256,40 @@ class Engine:
             return toks, k_tails, v_tails
 
         def _prefill(params, tokens, true_len):
-            return prefill_kv(params, tokens, cfg, true_len=true_len)
+            return prefill_kv(params, tokens, cfg, true_len=true_len,
+                              tp_axis=tp_axis)
 
         def _prefill_chunk(params, tokens, k_bufs, v_bufs, prefix,
                            true_count):
             return prefill_chunk_step(
-                params, tokens, cfg, k_bufs, v_bufs, prefix, true_count)
+                params, tokens, cfg, k_bufs, v_bufs, prefix, true_count,
+                tp_axis=tp_axis)
+
+        if mesh is not None:
+            shmap = functools.partial(
+                jax.shard_map, mesh=mesh, check_vma=False)
+            rep = P()
+            _decode = shmap(
+                _decode,
+                in_specs=(pspecs, rep, pool_spec, pool_spec, tail_spec,
+                          tail_spec, rep, rep, rep, scale_spec,
+                          scale_spec),
+                out_specs=(rep, tail_spec, tail_spec))
+            _decode_chunk = shmap(
+                _decode_chunk,
+                in_specs=(pspecs, rep, pool_spec, pool_spec, tail_spec,
+                          tail_spec, rep, rep, rep, scale_spec,
+                          scale_spec, rep, rep),
+                out_specs=(rep, tail_spec, tail_spec))
+            kv_out = P(None, None, "tp", None, None)
+            _prefill = shmap(
+                _prefill, in_specs=(pspecs, rep, rep),
+                out_specs=(rep, kv_out, kv_out))
+            _prefill_chunk = shmap(
+                _prefill_chunk,
+                in_specs=(pspecs, rep, self._buf_spec, self._buf_spec,
+                          rep, rep),
+                out_specs=(rep, self._buf_spec, self._buf_spec))
 
         # Tails are donated (mutated per step); pages are read-only in
         # the decode step and flushed separately (kv_cache.flush_tails).
@@ -306,11 +376,17 @@ class Engine:
                 tb = _bucket(t)
                 shape = (self.cfg.n_layers, 1, self.cfg.n_kv_heads, tb,
                          self.cfg.head_dim)
+                kb = jnp.zeros(shape, self.cfg.dtype)
+                vb = jnp.zeros(shape, self.cfg.dtype)
+                if self.mesh is not None:
+                    from jax.sharding import NamedSharding
+                    sh = NamedSharding(self.mesh, self._buf_spec)
+                    kb = jax.device_put(kb, sh)
+                    vb = jax.device_put(vb, sh)
                 self.prefilling.append(_PrefillTask(
                     request=req, prompt=prompt, bucket=tb,
                     chunk=min(self.prefill_chunk, tb), done=0,
-                    k_bufs=jnp.zeros(shape, self.cfg.dtype),
-                    v_bufs=jnp.zeros(shape, self.cfg.dtype),
+                    k_bufs=kb, v_bufs=vb,
                     logits=None, need_pages=need, worst=worst,
                     branch_worst=branch_worst))
                 continue
@@ -320,7 +396,7 @@ class Engine:
             padded[0, :t] = prompt
             t0 = time.perf_counter()
             logits, ks, vs = self._prefill_fn(
-                self.params, jnp.asarray(padded), true_len=t)
+                self.params, jnp.asarray(padded), np.int32(t))
             jax.block_until_ready(logits)
             self.stats.prefill_s += time.perf_counter() - t0
             done.extend(self._install_sequences(
