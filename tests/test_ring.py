@@ -190,3 +190,124 @@ def test_ring_attention_inside_model_training(rng):
     for a, b in zip(jax.tree.leaves(gr), jax.tree.leaves(gb)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-4, atol=5e-6)
+
+
+# --- feature parity with the single-chip kernel: window + segments -----
+
+
+def test_ring_attention_sliding_window_matches_reference(rng):
+    """Causal sliding window across ring steps (contiguous layout):
+    window spans chunk boundaries, old chunks drop out entirely."""
+    n_dev = len(jax.devices())
+    mesh = make_mesh(sp=n_dev)
+    B, H, N, D = 1, 2, 128 * n_dev, 64
+    q = jnp.asarray(rng.normal(0, 0.02, (B, H, N, D)), jnp.float32)
+    k = jnp.asarray(rng.normal(0, 0.02, (B, H, N, D)), jnp.float32)
+    v = jnp.asarray(rng.normal(0, 0.02, (B, H, N, D)), jnp.float32)
+    for window in (100, 300):   # < one chunk / spanning several chunks
+        ring = make_ring_attention(mesh, causal=True, window=window,
+                                   block_sizes=BLOCKS)
+        out = ring(q, k, v)
+        ref = attention_reference(q, k, v, causal=True, window=window)
+        report = verify(out, ref)
+        assert report.passed, f"window={window}: {report}"
+
+
+@pytest.mark.slow
+def test_ring_attention_window_gradients_match_reference(rng):
+    from flash_attention_tpu.ops.flash import flash_attention
+
+    n_dev = len(jax.devices())
+    mesh = make_mesh(sp=n_dev)
+    B, H, N, D, W = 1, 2, 128 * n_dev, 64, 200
+    q = jnp.asarray(rng.normal(0, 0.02, (B, H, N, D)), jnp.float32)
+    k = jnp.asarray(rng.normal(0, 0.02, (B, H, N, D)), jnp.float32)
+    v = jnp.asarray(rng.normal(0, 0.02, (B, H, N, D)), jnp.float32)
+    ring = make_ring_attention(mesh, causal=True, window=W,
+                               block_sizes=BLOCKS)
+
+    def ring_loss(q, k, v):
+        return jnp.sum(ring(q, k, v).astype(jnp.float32) ** 2)
+
+    def ref_loss(q, k, v):
+        out = flash_attention(q, k, v, causal=True, window=W,
+                              block_sizes=BLOCKS)
+        return jnp.sum(out.astype(jnp.float32) ** 2)
+
+    grads = jax.grad(ring_loss, (0, 1, 2))(q, k, v)
+    refs = jax.grad(ref_loss, (0, 1, 2))(q, k, v)
+    for g, r, name in zip(grads, refs, "qkv"):
+        rep = verify(g, r)
+        assert rep.passed, f"d{name}: {rep}"
+
+
+@pytest.mark.parametrize("layout", ["contiguous", "zigzag"])
+def test_ring_attention_segments_match_reference(rng, layout):
+    """Packed-sequence segment ids under sequence parallelism: kv ids
+    rotate with their chunks; documents never cross-attend even when a
+    document spans a chunk boundary."""
+    from flash_attention_tpu.ops.flash import SegmentIds
+    from tests.test_segments import make_segments, masked_reference
+
+    n_dev = len(jax.devices())
+    mesh = make_mesh(sp=n_dev)
+    B, H, D = 1, 2, 64
+    N = (2 if layout == "zigzag" else 1) * 128 * n_dev
+    q = jnp.asarray(rng.normal(0, 0.02, (B, H, N, D)), jnp.float32)
+    k = jnp.asarray(rng.normal(0, 0.02, (B, H, N, D)), jnp.float32)
+    v = jnp.asarray(rng.normal(0, 0.02, (B, H, N, D)), jnp.float32)
+    seg = make_segments(np.random.default_rng(11), B, N, max_docs=5)
+    if layout == "zigzag":
+        perm = zigzag_order(N, n_dev)
+        inv = zigzag_inverse(N, n_dev)
+    else:
+        perm = inv = np.arange(N)
+
+    ring = make_ring_attention(mesh, causal=True, layout=layout,
+                               segmented=True, block_sizes=BLOCKS)
+    out = ring(q[:, :, perm], k[:, :, perm], v[:, :, perm],
+               SegmentIds(seg[:, perm], seg[:, perm]))[:, :, inv]
+    ref = masked_reference(q, k, v, seg, seg, causal=True)
+    report = verify(out, ref)
+    assert report.passed, str(report)
+
+
+@pytest.mark.slow
+def test_ring_attention_segments_gradients_match_reference(rng):
+    from flash_attention_tpu.ops.flash import SegmentIds, flash_attention
+    from tests.test_segments import make_segments
+
+    n_dev = len(jax.devices())
+    mesh = make_mesh(sp=n_dev)
+    B, H, N, D = 1, 2, 128 * n_dev, 64
+    q = jnp.asarray(rng.normal(0, 0.02, (B, H, N, D)), jnp.float32)
+    k = jnp.asarray(rng.normal(0, 0.02, (B, H, N, D)), jnp.float32)
+    v = jnp.asarray(rng.normal(0, 0.02, (B, H, N, D)), jnp.float32)
+    seg = make_segments(np.random.default_rng(12), B, N, max_docs=4)
+    sids = SegmentIds(seg, seg)
+    ring = make_ring_attention(mesh, causal=True, segmented=True,
+                               block_sizes=BLOCKS)
+
+    def ring_loss(q, k, v):
+        return jnp.sum(ring(q, k, v, sids).astype(jnp.float32) ** 2)
+
+    def ref_loss(q, k, v):
+        out = flash_attention(q, k, v, sids, causal=True,
+                              block_sizes=BLOCKS)
+        return jnp.sum(out.astype(jnp.float32) ** 2)
+
+    grads = jax.grad(ring_loss, (0, 1, 2))(q, k, v)
+    refs = jax.grad(ref_loss, (0, 1, 2))(q, k, v)
+    for g, r, name in zip(grads, refs, "qkv"):
+        rep = verify(g, r)
+        assert rep.passed, f"d{name}: {rep}"
+
+
+def test_ring_window_zigzag_raises():
+    from flash_attention_tpu.parallel.ring import ring_attention
+
+    with pytest.raises(NotImplementedError):
+        # shape-only check happens before any mesh work
+        q = jnp.zeros((1, 1, 128, 64), jnp.float32)
+        ring_attention(q, q, q, axis_name="sp", causal=True,
+                       layout="zigzag", window=64)
