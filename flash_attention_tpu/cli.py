@@ -188,7 +188,8 @@ def cmd_perf(args):
 
     for cfg in args.configs:
         b, h, n, d = cfg
-        q, k, v = _make_inputs(b, h, n, d, args.dtype)
+        q, k, v = _make_inputs(b, h, n, d, args.dtype,
+                               kv_heads=args.kv_heads)
         with _maybe_profile(args.profile):
             rep = bench_attention(
                 f"flash[{b},{h},{n},{d}]",
@@ -285,7 +286,8 @@ def cmd_decode_bench(args):
         scales = dict(k_scales=None, v_scales=None)
         kv_bytes = 2
     else:
-        dt = {"int8": jnp.int8, "fp8": jnp.float8_e4m3fn}[args.kv_dtype]
+        dt = {"int8": jnp.int8, "fp8": jnp.float8_e4m3fn,
+              "fp8_e5m2": jnp.float8_e5m2}[args.kv_dtype]
         qmax = _QMAX[jnp.dtype(dt)]
 
         def quant(x):
@@ -329,8 +331,13 @@ def cmd_decode_bench(args):
         bm, ctxm = args.model_batch, args.model_context
         mp = -(-ctxm // ps)
         npg = max(bm * mp, 1) + 1
-        kv_q = args.model_kv == "int8"
-        pool_dtype = jnp.int8 if kv_q else jnp.bfloat16
+        kv_q = args.model_kv in ("int8", "fp8", "fp8_e5m2")
+        pool_dtype = {
+            "int8": jnp.int8,
+            "fp8": jnp.float8_e4m3fn,       # bit-plant dequant on v5e
+            "fp8_e5m2": jnp.float8_e5m2,
+            None: jnp.bfloat16, "none": jnp.bfloat16,
+        }[args.model_kv]
         pool_shape = (cfg.n_kv_heads, npg, ps, cfg.head_dim)
         from flash_attention_tpu.ops.quant import QUANT_BLOCK
         scale_shape = (cfg.n_kv_heads, npg, ps // QUANT_BLOCK,
@@ -470,7 +477,8 @@ def cmd_serve_bench(args):
            None: None, "none": None}[args.kv_quant]
     eng = Engine(params, cfg, max_batch=args.batch,
                  num_pages=args.num_pages, page_size=args.page_size,
-                 kv_quant_dtype=kvq, decode_chunk=args.decode_chunk)
+                 kv_quant_dtype=kvq, decode_chunk=args.decode_chunk,
+                 prefill_chunk=args.prefill_chunk)
 
     def make_reqs(n):
         return [
@@ -485,6 +493,7 @@ def cmd_serve_bench(args):
     eng.run(make_reqs(min(args.batch + 1, args.requests)))
     import dataclasses as _dc
     base = _dc.replace(eng.stats)
+    n_ttft_base = len(eng.stats.ttft_s)
     t0 = time.perf_counter()
     comps = eng.run(make_reqs(args.requests))
     wall = time.perf_counter() - t0
@@ -495,6 +504,7 @@ def cmd_serve_bench(args):
         engine_steps=eng.stats.engine_steps - base.engine_steps,
         prefill_s=eng.stats.prefill_s - base.prefill_s,
         decode_s=eng.stats.decode_s - base.decode_s,
+        ttft_s=eng.stats.ttft_s[n_ttft_base:],
     )
     print(f"serve-bench [{args.model}]: {len(comps)} requests, "
           f"{total_gen} tokens in {wall:.2f} s wall")
@@ -502,7 +512,16 @@ def cmd_serve_bench(args):
           f"{s.decode_tokens_per_s:.1f} tok/s/chip "
           f"(batch {args.batch}, steps {s.engine_steps})")
     print(f"  prefill: {s.prefill_tokens} tok in {s.prefill_s:.2f} s = "
-          f"{s.prefill_tokens / max(s.prefill_s, 1e-9):.0f} tok/s")
+          f"{s.prefill_tokens / max(s.prefill_s, 1e-9):.0f} tok/s"
+          + (f" (chunked, {args.prefill_chunk} tok/chunk)"
+             if args.prefill_chunk else ""))
+    pct = s.ttft_percentiles()
+    if pct:
+        # p50 TTFT is a named driver metric (BASELINE.json).
+        print(f"  TTFT: p50 {pct['p50'] * 1e3:.0f} ms  "
+              f"p90 {pct['p90'] * 1e3:.0f} ms  "
+              f"p99 {pct['p99'] * 1e3:.0f} ms  "
+              f"({len(s.ttft_s)} requests)")
     return 0
 
 
@@ -545,6 +564,8 @@ def main(argv=None):
     pp.add_argument("--configs", nargs="+",
                     default=["1,32,8192,128", "1,64,8192,128"])
     pp.add_argument("--dtype", default="bfloat16")
+    pp.add_argument("--kv-heads", type=int, default=None,
+                    help="GQA: number of KV heads (default = q heads)")
     pp.add_argument("--causal", action="store_true")
     pp.add_argument("--warmup", type=int, default=3)
     pp.add_argument("--iters", type=int, default=5)
@@ -570,7 +591,7 @@ def main(argv=None):
     pd.add_argument("--context", type=int, default=4096)
     pd.add_argument("--page-size", type=int, default=256)
     pd.add_argument("--kv-dtype", default="bfloat16",
-                    choices=["bfloat16", "int8", "fp8"])
+                    choices=["bfloat16", "int8", "fp8", "fp8_e5m2"])
     pd.add_argument("--model", default=None,
                     choices=[None, "tiny", "1b", "8b"])
     pd.add_argument("--model-batch", type=int, default=32)
@@ -579,7 +600,7 @@ def main(argv=None):
     pd.add_argument("--weight-quant", default=None,
                     choices=[None, "int8"])
     pd.add_argument("--model-kv", default=None,
-                    choices=[None, "int8"])
+                    choices=[None, "none", "int8", "fp8", "fp8_e5m2"])
     pd.add_argument("--warmup", type=int, default=3)
     pd.add_argument("--iters", type=int, default=10)
     pd.set_defaults(fn=cmd_decode_bench)
@@ -596,6 +617,9 @@ def main(argv=None):
     ps_.add_argument("--kv-quant", default=None,
                      choices=[None, "none", "int8", "fp8"])
     ps_.add_argument("--decode-chunk", type=int, default=8)
+    ps_.add_argument("--prefill-chunk", type=int, default=None,
+                     help="interleave prompt prefill with decode in "
+                          "chunks of this many tokens (TTFT path)")
     ps_.set_defaults(fn=cmd_serve_bench)
 
     pf = sub.add_parser("profile",

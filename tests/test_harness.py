@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from flash_attention_tpu.utils.bench import (
     attention_flops,
