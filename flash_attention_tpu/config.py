@@ -165,10 +165,23 @@ def select_block_sizes(
     else:
         bwd = (LANES, LANES)
 
+    # Each backward kernel prefers a LARGE block on its own accumulator
+    # dim: dQ (gridded over q, sweeping kv) wants a tall q block; dKV
+    # (gridded over kv, sweeping q) wants a wide kv block. Measured
+    # fused fwd+bwd at the flagship config: 144.0 TFLOP/s at
+    # dq(2048,1024)+dkv(1024,2048) vs 141.3 at all-1024 (lazy-softmax
+    # kernel, 3.5x-FLOPs model).
+    dq_pair = (min(bwd[0] * 2, fwd[0]), bwd[1])
+    if _bwd_footprint_bytes(*dq_pair, head_dim, in_bytes) > vmem_budget:
+        dq_pair = bwd
+    dkv_pair = (bwd[0], min(bwd[1] * 2, fwd[1]))
+    if _bwd_footprint_bytes(*dkv_pair, head_dim, in_bytes) > vmem_budget:
+        dkv_pair = bwd
+
     return BlockSizes(
         block_q=fwd[0], block_kv=fwd[1],
-        block_q_dq=bwd[0], block_kv_dq=bwd[1],
-        block_q_dkv=bwd[0], block_kv_dkv=bwd[1],
+        block_q_dq=dq_pair[0], block_kv_dq=dq_pair[1],
+        block_q_dkv=dkv_pair[0], block_kv_dkv=dkv_pair[1],
     ).clamp(seq_q, seq_kv)
 
 
