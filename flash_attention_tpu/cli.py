@@ -290,18 +290,22 @@ def cmd_decode_bench(args):
               "fp8_e5m2": jnp.float8_e5m2}[args.kv_dtype]
         qmax = _QMAX[jnp.dtype(dt)]
 
+        @jax.jit
         def quant(x):
-            xr = x.reshape(hkv, num_pages, ps // QUANT_BLOCK, QUANT_BLOCK, d)
-            sc = np.maximum(np.abs(xr).max(axis=3, keepdims=True) / qmax,
-                            1e-8)
+            # On-device: a 268M-element pool in host numpy takes minutes
+            # on a small VM and looks like a hang.
+            xr = jnp.asarray(x, jnp.float32).reshape(
+                hkv, num_pages, ps // QUANT_BLOCK, QUANT_BLOCK, d)
+            sc = jnp.maximum(
+                jnp.max(jnp.abs(xr), axis=3, keepdims=True) / qmax, 1e-8)
             qv = xr / sc
-            if dt == jnp.int8:
-                qv = np.clip(np.round(qv), -qmax, qmax)
-            return (jnp.asarray(qv.reshape(pool_shape), dt),
-                    jnp.asarray(sc[..., 0, :], jnp.float32))
+            if jnp.dtype(dt) == jnp.dtype(jnp.int8):
+                qv = jnp.clip(jnp.round(qv), -qmax, qmax)
+            return (qv.astype(dt).reshape(pool_shape), sc[..., 0, :])
 
         k_pool, k_sc = quant(kf)
         v_pool, v_sc = quant(vf)
+        jax.block_until_ready((k_pool, v_sc))
         scales = dict(k_scales=k_sc, v_scales=v_sc)
         kv_bytes = 1
 

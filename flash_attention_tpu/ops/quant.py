@@ -5,6 +5,22 @@ BASELINE.json north_star): weight-only KV quantization whose dequant is
 fused into the attention kernels' inner loops (see ops/decode.py and the
 quantized prefill path).
 
+Choosing a KV storage dtype on v5e (measured, paged decode kernel at
+batch 64 / Hq 32 / Hkv 8 / D 128 / ctx 4K):
+
+  * bf16: the bandwidth baseline (~1.4 ms/step, ~740 GB/s KV read).
+  * int8: fastest (~1.0-1.3 ms/step) AND half the cache bytes — the
+    recommended v5e lowering when someone asks for "FP8 KV" and means
+    throughput: v5e has no fp8 compute units, so fp8 cannot beat int8
+    there.
+  * fp8 (e4m3/e5m2): ~1.5x the int8 step time via the exact bit-plant
+    dequant in `tile_to_f32` (Mosaic's astype emulation was ~8x bf16 —
+    the bit-plant is what makes fp8 usable at all on v5e). Pick fp8
+    over int8 when the cache must round-trip fp8 semantics (shared
+    checkpoints/caches with fp8-native chips like v6e+, e4m3's wider
+    dynamic range per block) and accept the VPU tax; pick int8 for
+    v5e-resident serving.
+
 Scheme: scales per (head, token-block, channel) with QUANT_BLOCK=128
 tokens per block.
   - Channel-wise (over D) handles K's RoPE-induced per-channel spread

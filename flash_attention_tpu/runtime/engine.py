@@ -436,31 +436,42 @@ class Engine:
         return done
 
     def _step_prefill(self) -> list[Completion]:
-        """Advance the head prefill task by one chunk; on the final
-        chunk, install the sequence into decode slots."""
-        if not self.prefilling:
-            return []
-        task = self.prefilling[0]
-        t = len(task.prompt)
-        start = task.done
-        c = task.chunk
-        chunk = np.zeros((1, c), np.int32)
-        real = min(c, t - start)
-        chunk[0, :real] = task.prompt[start:start + real]
-        t0 = time.perf_counter()
-        task.logits, task.k_bufs, task.v_bufs = self._prefill_chunk_fn(
-            self.params, jnp.asarray(chunk), task.k_bufs, task.v_bufs,
-            np.int32(start), np.int32(real))
-        jax.block_until_ready(task.logits)
-        self.stats.prefill_s += time.perf_counter() - t0
-        task.done = start + real
-        if task.done < t:
-            return []
-        self.prefilling.popleft()
-        return self._install_sequences(
-            task.request, task.logits,
-            task.k_bufs[:, 0, :, :t], task.v_bufs[:, 0, :, :t], t,
-            task.worst, task.branch_worst)
+        """Advance prefill by up to `prefill_chunk` REAL tokens this
+        engine step (a token budget, not one-task-one-chunk: several
+        short prompts admit in a single step, a long prompt stays
+        bounded to ~one chunk of stall); sequences whose final chunk
+        lands install into decode slots immediately."""
+        done = []
+        budget = self.prefill_chunk or 0
+        while self.prefilling and budget > 0:
+            task = self.prefilling[0]
+            t = len(task.prompt)
+            start = task.done
+            c = task.chunk
+            chunk = np.zeros((1, c), np.int32)
+            real = min(c, t - start)
+            chunk[0, :real] = task.prompt[start:start + real]
+            t0 = time.perf_counter()
+            # No per-chunk readback: chunk dispatches pipeline on the
+            # device (the host<->device sync costs tens of ms on
+            # tunneled transports); the install step below blocks once
+            # per sequence. prefill_s therefore times enqueue + the
+            # final sync, attributing pipelined device time to the
+            # completing chunk.
+            task.logits, task.k_bufs, task.v_bufs = self._prefill_chunk_fn(
+                self.params, jnp.asarray(chunk), task.k_bufs, task.v_bufs,
+                np.int32(start), np.int32(real))
+            self.stats.prefill_s += time.perf_counter() - t0
+            task.done = start + real
+            budget -= real
+            if task.done < t:
+                continue
+            self.prefilling.popleft()
+            done.extend(self._install_sequences(
+                task.request, task.logits,
+                task.k_bufs[:, 0, :, :t], task.v_bufs[:, 0, :, :t], t,
+                task.worst, task.branch_worst))
+        return done
 
     def _maybe_finish(self, slot: _Slot) -> Completion | None:
         req = slot.request
@@ -510,6 +521,21 @@ class Engine:
         done = self._try_admit()
         done.extend(self._step_prefill())
         live = [i for i, s in enumerate(self.slots) if s is not None]
+        # Prefill-priority batching: a decode dispatch costs the full
+        # weight read regardless of slot occupancy, so while prompts
+        # are mid-prefill and the batch is not yet NEARLY full, keep
+        # prefilling (each step bounded to the chunk budget) instead of
+        # burning under-occupied decode dispatches — synchronized
+        # finish waves would otherwise oscillate the batch at half
+        # occupancy and double the per-token decode cost. Above the
+        # near-full threshold decode interleaves with remaining
+        # prefills, so a long prompt admitted into a busy batch stalls
+        # live decodes by at most one chunk per engine step (the
+        # chunked-prefill latency contract).
+        near_full = self.max_batch - max(1, self.max_batch // 8)
+        if self.prefilling and len(live) < near_full:
+            self.stats.engine_steps += 1
+            return done
         if not live:
             self.stats.engine_steps += 1
             return done

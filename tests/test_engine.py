@@ -268,14 +268,18 @@ def test_engine_chunked_prefill_matches_greedy(params, rng):
 @pytest.mark.slow
 def test_engine_chunked_prefill_interleaves_decode(params, rng):
     """A long prompt admitted mid-stream must NOT stall live decode:
-    with chunked prefill the live slot keeps producing tokens while the
-    new prompt prefills chunk by chunk."""
-    eng = make_engine(params, prefill_chunk=32)
-    p1 = list(rng.integers(0, CFG.vocab_size, 9))
-    eng.submit(Request(prompt=p1, max_new_tokens=24))
-    eng.step()                                 # admit + first decode
+    once the batch is at least half occupied, live slots keep producing
+    tokens between the new prompt's prefill chunks (below half
+    occupancy the scheduler deliberately prefers filling the batch —
+    an under-occupied decode dispatch costs the full weight read)."""
+    eng = make_engine(params, prefill_chunk=32)      # max_batch = 4
+    shorts = [list(rng.integers(0, CFG.vocab_size, n))
+              for n in (7, 9, 11)]
+    for p in shorts:
+        eng.submit(Request(prompt=p, max_new_tokens=24))
+    eng.step()                                 # admit 3 + first decode
     live_before = [s for s in eng.slots if s is not None]
-    assert live_before, "first request should be decoding"
+    assert len(live_before) == 3, "short requests should be decoding"
     n_before = len(live_before[0].generated)
 
     p2 = list(rng.integers(0, CFG.vocab_size, 120))  # 4 chunks
@@ -288,5 +292,6 @@ def test_engine_chunked_prefill_interleaves_decode(params, rng):
         "decode stalled during chunked prefill")
     out = eng.run()
     by_len = {c.prompt_len: c for c in out}
-    assert by_len[len(p1)].tokens == ref_greedy(params, p1, 24)
+    for p in shorts:
+        assert by_len[len(p)].tokens == ref_greedy(params, p, 24)
     assert by_len[len(p2)].tokens == ref_greedy(params, p2, 4)
