@@ -27,3 +27,50 @@ for d in 32 64 128; do
 done
 run 2 32 8192 128 --warmup 2 --iters 3
 echo "done."
+
+# --- round-2 artifacts ------------------------------------------------------
+
+# KV-dtype decode ladder (kernel level, incl. the fp8 bit-plant rows)
+{
+echo "# paged decode kernel, batch=64 Hq=32 Hkv=8 D=128 ctx=4096 page=256"
+for dt in bfloat16 int8 fp8 fp8_e5m2; do
+    timeout 900 python -m flash_attention_tpu.cli decode-bench \
+        --kv-dtype "$dt" --warmup 2 --iters 6 2>&1 \
+        | grep -v "Platform 'axon'" | grep -E "attention decode" \
+        | sed "s/^/$dt: /"
+done
+} > benchmarks/decode_bench_kv_dtypes
+
+# 8B decode: int8 weights + fp8/int8 KV (driver metric: tokens/s at 8B FP8-KV)
+timeout 1500 python -m flash_attention_tpu.cli decode-bench --model 8b \
+    --weight-quant int8 --model-kv fp8 --model-batch 16 \
+    --model-context 4096 --model-steps 32 --iters 6 2>&1 \
+    | grep -v "Platform 'axon'" | tee benchmarks/bench_8b_fp8
+timeout 1500 python -m flash_attention_tpu.cli decode-bench --model 8b \
+    --weight-quant int8 --model-kv int8 --model-batch 16 \
+    --model-context 4096 --model-steps 32 --iters 6 2>&1 \
+    | grep -v "Platform 'axon'" | tee benchmarks/bench_8b_int8_r2
+
+# Sequence sweep 2K->128K causal GQA (driver metric: TFLOP/s at seq 2K-128K)
+timeout 1500 python -m flash_attention_tpu.cli perf \
+    --configs 1,32,2048,128 1,32,8192,128 1,32,32768,128 1,32,131072,128 \
+    --kv-heads 8 --causal --warmup 2 --iters 4 2>&1 \
+    | grep -v "Platform 'axon'" | tee benchmarks/seq_sweep
+
+# Backward artifacts (dq/dkv independently tuned blocks)
+timeout 1200 python -m flash_attention_tpu.cli perf --configs 1,32,8192,128 \
+    --causal --bwd --warmup 2 --iters 4 2>&1 \
+    | grep -v "Platform 'axon'" | tee benchmarks/perf_bwd
+timeout 1200 python -m flash_attention_tpu.cli perf --configs 1,32,8192,128 \
+    --bwd --warmup 2 --iters 4 2>&1 \
+    | grep -v "Platform 'axon'" | tee benchmarks/perf_bwd_noncausal
+
+# Serve benches: chunked-prefill TTFT vs monolithic (driver metric: p50 TTFT)
+timeout 1400 python -m flash_attention_tpu.cli serve-bench --model 1b \
+    --batch 16 --requests 48 --prompt-len 512 --gen-len 48 \
+    --decode-chunk 24 --prefill-chunk 256 2>&1 \
+    | grep -v "Platform 'axon'" | tee benchmarks/serve_bench_1b_ttft
+timeout 1400 python -m flash_attention_tpu.cli serve-bench --model 1b \
+    --batch 16 --requests 48 --prompt-len 512 --gen-len 48 \
+    --decode-chunk 24 2>&1 \
+    | grep -v "Platform 'axon'" | tee benchmarks/serve_bench_1b_monolithic
