@@ -217,6 +217,36 @@ def paged_flash_decode(q, k_pool, v_pool, page_table, lengths, *,
     return o
 
 
+def validate_paged_inputs(k_pool, page_table, lengths, *, page_size=None):
+    """checkify guards for the scalar-prefetch index path (the
+    sanitizer analog SURVEY.md §5 calls for: Pallas index maps consult
+    `page_table`/`lengths` to drive DMA, and an out-of-range page id
+    would DMA arbitrary pool rows — the TPU equivalent of the unguarded
+    OOB reads CUDA kernels risk; the reference's only guard was
+    CHECK_CUDA after the fact).
+
+    Call inside a `checkify.checkify(...)`-wrapped function (works
+    under jit); `errors=checkify.user_checks`. Example:
+
+        err, out = checkify.checkify(
+            lambda *a: (validate_paged_inputs(kp, tbl, lens),
+                        paged_flash_decode(*a))[1])(q, kp, vp, tbl, lens)
+        err.throw()
+    """
+    from jax.experimental import checkify
+
+    num_pages = k_pool.shape[1]
+    ps = page_size or k_pool.shape[2]
+    max_pages = page_table.shape[1]
+    checkify.check(
+        jnp.all((page_table >= 0) & (page_table < num_pages)),
+        f"page_table contains out-of-range page ids "
+        f"(pool has {num_pages} pages)")
+    checkify.check(
+        jnp.all((lengths >= 0) & (lengths <= max_pages * ps)),
+        f"lengths exceed page-table capacity ({max_pages * ps} tokens)")
+
+
 def paged_decode_reference(q, k_pool, v_pool, page_table, lengths, *,
                            k_scales=None, v_scales=None, scale=None):
     """Exact reference: gather pages into contiguous caches, then run the

@@ -184,3 +184,33 @@ def test_paged_decode_tp_sharded_heads(rng):
     ref = paged_decode_reference(q, k_pool, v_pool, tables, lengths)
     assert verify(out, ref).passed
     assert out.sharding.spec[1] == "tp"
+
+
+def test_validate_paged_inputs_checkify(rng):
+    """The checkify guard (sanitizer analog, SURVEY.md §5) flags
+    out-of-range page ids and over-capacity lengths, under jit."""
+    import jax
+    from jax.experimental import checkify
+    from flash_attention_tpu.ops.paged import validate_paged_inputs
+
+    hkv, pages, ps, d = 2, 8, 128, 64
+    kp = jnp.zeros((hkv, pages, ps, d), jnp.float32)
+
+    @jax.jit
+    def run(tbl, lens):
+        err, _ = checkify.checkify(
+            validate_paged_inputs, errors=checkify.user_checks)(
+            kp, tbl, lens)
+        return err
+
+    good_tbl = jnp.asarray([[0, 1], [2, 3]], jnp.int32)
+    good_len = jnp.asarray([100, 256], jnp.int32)
+    run(good_tbl, good_len).throw()          # no error
+
+    bad_tbl = jnp.asarray([[0, 99], [2, 3]], jnp.int32)
+    with pytest.raises(Exception, match="out-of-range page ids"):
+        run(bad_tbl, good_len).throw()
+
+    bad_len = jnp.asarray([100, 2 * ps + 1], jnp.int32)
+    with pytest.raises(Exception, match="exceed page-table capacity"):
+        run(good_tbl, bad_len).throw()
