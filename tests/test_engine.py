@@ -82,6 +82,7 @@ def test_engine_eos_stops_early(params, rng):
     assert c.tokens == want[: want.index(eos) + 1]
 
 
+@pytest.mark.slow
 def test_engine_page_boundary_crossing(params, rng):
     """Generation that crosses a page boundary stays correct."""
     t = PAGE - 2

@@ -152,3 +152,21 @@ def test_fwd_quantized_rejects_mixed(qkv_factory):
     q, k, v = qkv_factory(1, 2, 2, 256, 256, 64, jnp.bfloat16)
     with pytest.raises(ValueError, match="both"):
         flash_attention_fwd(q, quantize_kv(k), v)
+
+
+def test_fwd_fp16_io(qkv_factory):
+    """fp16 I/O path (the reference's storage dtype, SURVEY.md §2.3):
+    same low-precision gate as bf16."""
+    from flash_attention_tpu.ops.reference import (
+        attention_lowp_baseline,
+        attention_reference,
+    )
+    from flash_attention_tpu.utils.metrics import verify_low_precision
+
+    q, k, v = qkv_factory(1, 2, 2, 256, 256, 64, jnp.float16)
+    o = flash_attention(q, k, v, causal=True)
+    assert o.dtype == jnp.float16
+    ok, ke, be = verify_low_precision(
+        o, attention_reference(q, k, v, causal=True),
+        attention_lowp_baseline(q, k, v, causal=True))
+    assert ok, (ke, be)

@@ -53,6 +53,7 @@ def test_quantized_weight_einsum_all_specs(rng):
             err_msg=spec)
 
 
+@pytest.mark.slow
 def test_quantized_model_forward_close(rng):
     params = init_params(CFG, jax.random.PRNGKey(0))
     qparams = quantize_params(params)
@@ -68,6 +69,7 @@ def test_quantized_model_forward_close(rng):
     assert agree >= 0.9, agree
 
 
+@pytest.mark.slow
 def test_quantized_engine_end_to_end(rng):
     from flash_attention_tpu.runtime.engine import Engine, Request
     params = init_params(CFG, jax.random.PRNGKey(0))
