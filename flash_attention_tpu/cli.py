@@ -499,7 +499,28 @@ def cmd_serve_bench(args):
     base = _dc.replace(eng.stats)
     n_ttft_base = len(eng.stats.ttft_s)
     t0 = time.perf_counter()
-    comps = eng.run(make_reqs(args.requests))
+    if args.arrival_rate:
+        # Open-loop Poisson arrivals: the standard serving-latency
+        # methodology (closed bursts measure queue depth, not the
+        # engine — every TTFT includes the whole backlog ahead of it).
+        # Requests arrive at `--arrival-rate` req/s on a wall clock;
+        # TTFT runs from arrival (queue wait included).
+        reqs = make_reqs(args.requests)
+        arrive = np.cumsum(
+            rng.exponential(1.0 / args.arrival_rate, len(reqs)))
+        comps, nxt = [], 0
+        while (nxt < len(reqs) or eng.pending or eng.prefilling
+               or eng.num_active):
+            now = time.perf_counter() - t0
+            while nxt < len(reqs) and arrive[nxt] <= now:
+                eng.submit(reqs[nxt])
+                nxt += 1
+            if not (eng.pending or eng.prefilling or eng.num_active):
+                time.sleep(min(max(arrive[nxt] - now, 0.0), 0.05))
+                continue
+            comps.extend(eng.step())
+    else:
+        comps = eng.run(make_reqs(args.requests))
     wall = time.perf_counter() - t0
     total_gen = sum(len(c.tokens) for c in comps)
     s = EngineStats(
@@ -510,8 +531,10 @@ def cmd_serve_bench(args):
         decode_s=eng.stats.decode_s - base.decode_s,
         ttft_s=eng.stats.ttft_s[n_ttft_base:],
     )
-    print(f"serve-bench [{args.model}]: {len(comps)} requests, "
-          f"{total_gen} tokens in {wall:.2f} s wall")
+    mode = (f"open-loop Poisson {args.arrival_rate} req/s"
+            if args.arrival_rate else "closed burst")
+    print(f"serve-bench [{args.model}]: {len(comps)} requests "
+          f"({mode}), {total_gen} tokens in {wall:.2f} s wall")
     print(f"  decode: {s.decode_tokens} tok in {s.decode_s:.2f} s = "
           f"{s.decode_tokens_per_s:.1f} tok/s/chip "
           f"(batch {args.batch}, steps {s.engine_steps})")
@@ -624,6 +647,9 @@ def main(argv=None):
     ps_.add_argument("--prefill-chunk", type=int, default=None,
                      help="interleave prompt prefill with decode in "
                           "chunks of this many tokens (TTFT path)")
+    ps_.add_argument("--arrival-rate", type=float, default=None,
+                     help="open-loop Poisson arrival rate (req/s); "
+                          "default is a closed burst of --requests")
     ps_.set_defaults(fn=cmd_serve_bench)
 
     pf = sub.add_parser("profile",

@@ -95,6 +95,34 @@ def tile_to_f32(tile):
     return jnp.where(b >= 0, val, -val)  # int8 sign bit == fp8 sign bit
 
 
+def tile_to_bf16(tile):
+    """Widen an int8/fp8 value tile to bf16 via a 16-bit-domain bit-plant.
+
+    Same decode as `tile_to_f32` but planted into the bf16 layout with
+    int16 arithmetic — half the VPU register traffic per element when
+    Mosaic keeps the lanes packed. EXACT: every finite fp8 value is
+    representable in bf16 (e4m3/e5m2 mantissas fit bf16's 7 bits, the
+    exponent ranges sit inside bf16's), so
+    `tile_to_bf16(t) == tile_to_f32(t).astype(bf16)` bit-for-bit,
+    subnormal codes included (their values m*2^(1-bias-man) are normal
+    bf16 numbers).
+    """
+    dt = jnp.dtype(tile.dtype)
+    if dt not in _FP8_BIT_PLANT:
+        return tile.astype(jnp.bfloat16)
+    man_bits, bias = _FP8_BIT_PLANT[dt]
+    shift = 7 - man_bits
+    b = lax.bitcast_convert_type(tile, jnp.int8).astype(jnp.int16)
+    mag = jnp.bitwise_and(b, 0x7F)
+    normal_bits = lax.shift_left(
+        mag, jnp.int16(shift)) + jnp.int16((127 - bias) << 7)
+    normal = lax.bitcast_convert_type(normal_bits, jnp.bfloat16)
+    sub = mag.astype(jnp.bfloat16) * jnp.bfloat16(
+        2.0 ** (1 - bias - man_bits))
+    val = jnp.where(mag < (1 << man_bits), sub, normal)
+    return jnp.where(b >= 0, val, -val)
+
+
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
 class QuantizedTensor:

@@ -168,3 +168,20 @@ def test_quant_flush_crossing_block_boundary_small_tail(rng):
         err = float(jnp.max(jnp.abs(got[i:i+1].astype(jnp.float32)
                                     - ref.astype(jnp.float32))))
         assert err <= 6e-3, (i, err)
+
+
+@pytest.mark.parametrize("qdtype", [jnp.float8_e4m3fn, jnp.float8_e5m2])
+def test_fp8_bit_plant_bf16_exact_all_codes(qdtype):
+    """tile_to_bf16 (16-bit-domain bit-plant) must equal
+    tile_to_f32(...).astype(bf16) bit-for-bit on every finite fp8 code —
+    the decode kernels may use either form interchangeably."""
+    from flash_attention_tpu.ops.quant import tile_to_bf16, tile_to_f32
+
+    codes = jnp.arange(256, dtype=jnp.uint8)
+    vals = jax.lax.bitcast_convert_type(codes, qdtype)
+    a = tile_to_f32(vals).astype(jnp.bfloat16)
+    b = tile_to_bf16(vals)
+    finite = np.isfinite(np.asarray(vals.astype(jnp.float32)))
+    abits = np.asarray(jax.lax.bitcast_convert_type(a, jnp.uint16))
+    bbits = np.asarray(jax.lax.bitcast_convert_type(b, jnp.uint16))
+    assert not ((abits != bbits) & finite).any()
