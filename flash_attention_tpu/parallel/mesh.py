@@ -5,9 +5,11 @@ distributed layer at all — this is the role NCCL/MPI would have played
 had it scaled out). Axis conventions, in mesh-major order:
 
   dp    data parallel (batch) — gradients all-reduce over ICI/DCN
+  pp    pipeline parallel (layer stages; microbatch activations ppermute)
   fsdp  fully-sharded data parallel (params + optimizer state sharded)
   sp    sequence parallel (ring attention rotates KV around this axis)
   tp    tensor parallel (heads / hidden sharded; activations collective)
+  ep    expert parallel (MoE experts sharded; token all_to_all dispatch)
 
 Multi-host: call `initialize_distributed()` (below) before mesh
 creation; it wires `jax.distributed` so `jax.devices()` spans hosts,
@@ -28,7 +30,7 @@ import jax
 from jax.sharding import Mesh
 
 
-AXES = ("dp", "fsdp", "sp", "tp")
+AXES = ("dp", "pp", "fsdp", "sp", "tp", "ep")
 
 
 def initialize_distributed(coordinator_address: str | None = None,
@@ -64,9 +66,10 @@ def initialize_distributed(coordinator_address: str | None = None,
     )
 
 
-def mesh_shape_for(n_devices: int, *, dp=1, fsdp=1, sp=1, tp=1) -> dict:
+def mesh_shape_for(n_devices: int, *, dp=1, pp=1, fsdp=1, sp=1, tp=1,
+                   ep=1) -> dict:
     """Fill in at most one -1 axis to consume the remaining devices."""
-    shape = {"dp": dp, "fsdp": fsdp, "sp": sp, "tp": tp}
+    shape = {"dp": dp, "pp": pp, "fsdp": fsdp, "sp": sp, "tp": tp, "ep": ep}
     free = [k for k, v in shape.items() if v == -1]
     if len(free) > 1:
         raise ValueError("at most one axis may be -1")
@@ -85,17 +88,21 @@ def mesh_shape_for(n_devices: int, *, dp=1, fsdp=1, sp=1, tp=1) -> dict:
     return shape
 
 
-def make_mesh(*, dp=1, fsdp=1, sp=1, tp=1, devices=None) -> Mesh:
+def make_mesh(*, dp=1, pp=1, fsdp=1, sp=1, tp=1, ep=1,
+              devices=None) -> Mesh:
     """Build a Mesh with the standard axes. Use -1 for one auto axis.
 
-    Axis order puts dp/fsdp outermost (DCN-friendly) and tp innermost
-    (highest-bandwidth ICI neighbors for the most chatty collectives).
+    Axis order puts dp/pp outermost (DCN-friendly: gradient reductions
+    and point-to-point microbatch handoffs tolerate the slow axis) and
+    tp/ep innermost (highest-bandwidth ICI neighbors for the most
+    chatty collectives — per-layer psum and token all_to_all).
     """
     explicit = devices is not None
     if devices is None:
         devices = jax.devices()
-    shape = mesh_shape_for(len(devices), dp=dp, fsdp=fsdp, sp=sp, tp=tp)
-    dims = (shape["dp"], shape["fsdp"], shape["sp"], shape["tp"])
+    shape = mesh_shape_for(len(devices), dp=dp, pp=pp, fsdp=fsdp, sp=sp,
+                           tp=tp, ep=ep)
+    dims = tuple(shape[a] for a in AXES)
     if not explicit:
         # Lay axes along the physical ICI torus (enumeration-order
         # reshape puts "neighbors" on non-adjacent chips for 2D/3D

@@ -21,9 +21,12 @@ BLOCKS = BlockSizes(block_q=128, block_kv=128)
 
 
 def test_mesh_shape_inference():
-    assert mesh_shape_for(8, sp=-1) == {"dp": 1, "fsdp": 1, "sp": 8, "tp": 1}
+    assert mesh_shape_for(8, sp=-1) == {
+        "dp": 1, "pp": 1, "fsdp": 1, "sp": 8, "tp": 1, "ep": 1}
     assert mesh_shape_for(8, dp=2, tp=-1) == {
-        "dp": 2, "fsdp": 1, "sp": 1, "tp": 4}
+        "dp": 2, "pp": 1, "fsdp": 1, "sp": 1, "tp": 4, "ep": 1}
+    assert mesh_shape_for(8, pp=2, ep=-1) == {
+        "dp": 1, "pp": 2, "fsdp": 1, "sp": 1, "tp": 1, "ep": 4}
     with pytest.raises(ValueError):
         mesh_shape_for(8, dp=3)
     with pytest.raises(ValueError):
