@@ -1,0 +1,320 @@
+"""Mixture-of-Experts model family with expert parallelism (`ep`).
+
+North-star extension with no reference counterpart (the reference is a
+single-GPU kernel study, SURVEY.md §0); this is the MoE member of the
+model zoo next to the dense Llama family, built TPU-first:
+
+  * **GShard-style capacity routing**: top-k softmax gating with a
+    static per-expert capacity; dispatch/combine are dense one-hot
+    einsums over [tokens, experts, capacity] — static shapes, MXU
+    matmuls, no data-dependent gather/scatter, exactly the layout XLA
+    SPMD was built around. Tokens that overflow an expert's capacity
+    are dropped (weight renormalized away), the documented GShard/
+    Switch behavior; `capacity_factor` sizes the slack.
+  * **Expert parallelism**: experts are sharded over the `ep` mesh
+    axis; tokens are data-parallel over `ep` (the standard
+    expert+data topology). Each shard routes its local tokens, then a
+    tiled `lax.all_to_all` swaps the [E, C, d] dispatch cube so every
+    rank holds ALL ranks' slots for ITS local experts, runs the expert
+    FFNs, and a second all_to_all routes results back — two
+    collectives per MoE layer, both riding the innermost ICI axis.
+  * **Router health**: Switch load-balance loss (E * sum_e f_e * p_e)
+    and router z-loss, both returned as aux and folded into the
+    training objective with configurable coefficients.
+
+The dense path (`ep_axis=None`) computes the identical capacity-routed
+math without collectives, so sharded-vs-dense parity is exact — the
+same self-verifying-pair pattern the kernel tests use (SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from flash_attention_tpu.models.llama import (
+    LlamaConfig,
+    _attention_block,
+    _mm,
+    rmsnorm,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class MoEConfig(LlamaConfig):
+    n_experts: int = 8
+    top_k: int = 2
+    capacity_factor: float = 1.25
+    load_balance_coef: float = 1e-2
+    router_z_coef: float = 1e-3
+
+    @staticmethod
+    def tiny_moe(**kw) -> "MoEConfig":
+        return MoEConfig(
+            vocab_size=512, dim=256, n_layers=2, n_heads=4, n_kv_heads=2,
+            ffn_dim=512, n_experts=8, top_k=2, **kw)
+
+    @staticmethod
+    def mixtral_8x7b(**kw) -> "MoEConfig":
+        """Mixtral-8x7B-class shapes (8 experts, top-2)."""
+        return MoEConfig(
+            vocab_size=32000, dim=4096, n_layers=32, n_heads=32,
+            n_kv_heads=8, ffn_dim=14336, n_experts=8, top_k=2, **kw)
+
+
+def expert_capacity(n_tokens: int, cfg: MoEConfig) -> int:
+    """Static per-expert slot count, padded to a lane-friendly multiple
+    of 8 (the fp32 sublane tile)."""
+    c = math.ceil(cfg.top_k * n_tokens * cfg.capacity_factor
+                  / cfg.n_experts)
+    return max(8, -(-c // 8) * 8)
+
+
+def init_moe_params(cfg: MoEConfig, key) -> dict:
+    """Llama-style init with each layer's dense MLP replaced by a
+    router + per-expert SwiGLU stack [E, ...]."""
+    d, hd, f, e = cfg.dim, cfg.head_dim, cfg.ffn_dim, cfg.n_experts
+    keys = jax.random.split(key, 4 + cfg.n_layers)
+
+    def dense(k, shape, fan_in):
+        return (jax.random.normal(k, shape, jnp.float32) /
+                np.sqrt(fan_in)).astype(cfg.dtype)
+
+    layers = []
+    for i in range(cfg.n_layers):
+        lk = jax.random.split(keys[4 + i], 9)
+        layers.append({
+            "attn_norm": jnp.ones((d,), cfg.dtype),
+            "wq": dense(lk[0], (d, cfg.n_heads, hd), d),
+            "wk": dense(lk[1], (d, cfg.n_kv_heads, hd), d),
+            "wv": dense(lk[2], (d, cfg.n_kv_heads, hd), d),
+            "wo": dense(lk[3], (cfg.n_heads, hd, d), cfg.n_heads * hd),
+            "mlp_norm": jnp.ones((d,), cfg.dtype),
+            # Router stays fp32: tiny, and gate ordering is precision
+            # -sensitive.
+            "router": jax.random.normal(lk[4], (d, e), jnp.float32) / np.sqrt(d),
+            "w_gate": dense(lk[5], (e, d, f), d),
+            "w_up": dense(lk[6], (e, d, f), d),
+            "w_down": dense(lk[7], (e, f, d), f),
+        })
+    return {
+        "embed": dense(keys[0], (cfg.vocab_size, d), d),
+        "layers": layers,
+        "final_norm": jnp.ones((d,), cfg.dtype),
+        "lm_head": dense(keys[1], (d, cfg.vocab_size), d),
+    }
+
+
+def moe_param_shardings(cfg: MoEConfig) -> dict:
+    """PartitionSpecs for the ep topology: expert stacks shard their
+    leading E dim over `ep`; everything else replicates (tp/fsdp
+    composition is orthogonal and layered the same way as the dense
+    family's param_shardings)."""
+    from jax.sharding import PartitionSpec as P
+
+    layer = {
+        "attn_norm": P(), "wq": P(), "wk": P(), "wv": P(), "wo": P(),
+        "mlp_norm": P(), "router": P(),
+        "w_gate": P("ep"), "w_up": P("ep"), "w_down": P("ep"),
+    }
+    return {
+        "embed": P(),
+        "layers": [layer] * cfg.n_layers,
+        "final_norm": P(),
+        "lm_head": P(),
+    }
+
+
+def route_tokens(logits, top_k: int, capacity: int):
+    """GShard top-k capacity routing.
+
+    logits: [n, E] fp32 router scores for n tokens.
+    Returns (dispatch [n, E, C] {0,1}, combine [n, E, C] gate weights,
+    aux dict). Lower-k choices take slot priority; a choice whose
+    expert is full is dropped (its one_hot(position >= C) row is zero
+    and its gate weight is renormalized over the surviving choices).
+    """
+    n, e = logits.shape
+    probs = jax.nn.softmax(logits, axis=-1)
+    masked = probs
+    choices, gates = [], []
+    for _ in range(top_k):
+        idx = jnp.argmax(masked, axis=-1)                     # [n]
+        oh = jax.nn.one_hot(idx, e, dtype=probs.dtype)        # [n, E]
+        gates.append(jnp.sum(probs * oh, axis=-1))            # [n]
+        choices.append(oh)
+        masked = masked * (1.0 - oh)
+
+    counts = jnp.zeros((e,), jnp.float32)
+    dispatch = jnp.zeros((n, e, capacity), probs.dtype)
+    kept_gates = []
+    for oh, gate in zip(choices, gates):
+        # Slot index = experts' running fill + this token's rank among
+        # same-choice tokens (exclusive prefix count).
+        pos = jnp.cumsum(oh, axis=0) - oh + counts[None, :]   # [n, E]
+        slot = jnp.sum(pos * oh, axis=-1).astype(jnp.int32)   # [n]
+        # one_hot of an out-of-capacity slot is all-zero: the drop.
+        d_k = oh[:, :, None] * jax.nn.one_hot(
+            slot, capacity, dtype=probs.dtype)[:, None, :]
+        dispatch = dispatch + d_k
+        kept = jnp.sum(d_k, axis=(1, 2))                      # [n] {0,1}
+        kept_gates.append(gate * kept)
+        counts = counts + jnp.sum(oh, axis=0)
+
+    # Combine: weight each dispatch slot by its choice's renormalized
+    # gate (rebuilt from the same slot recurrence).
+    denom = sum(kept_gates) + 1e-9
+    combine = jnp.zeros_like(dispatch)
+    counts2 = jnp.zeros((e,), jnp.float32)
+    for oh, kg in zip(choices, kept_gates):
+        pos = jnp.cumsum(oh, axis=0) - oh + counts2[None, :]
+        slot = jnp.sum(pos * oh, axis=-1).astype(jnp.int32)
+        d_k = oh[:, :, None] * jax.nn.one_hot(
+            slot, capacity, dtype=probs.dtype)[:, None, :]
+        combine = combine + (kg / denom)[:, None, None] * d_k
+        counts2 = counts2 + jnp.sum(oh, axis=0)
+
+    # Switch load-balance loss: E * sum_e (token fraction)(prob mass),
+    # over top-1 assignments; z-loss tames router logit growth.
+    f_e = jnp.mean(choices[0], axis=0)
+    p_e = jnp.mean(probs, axis=0)
+    aux = {
+        "load_balance": e * jnp.sum(f_e * p_e),
+        "router_z": jnp.mean(jax.nn.logsumexp(logits, axis=-1) ** 2),
+        "dropped_frac": 1.0 - jnp.sum(dispatch) / (n * len(choices)),
+    }
+    return dispatch, combine, aux
+
+
+def moe_mlp(layer, x, cfg: MoEConfig, ep_axis=None):
+    """Capacity-routed expert MLP. x: [B, T, d] (the LOCAL token shard
+    under ep). Returns (y, aux).
+
+    ep_axis None: every expert computed locally (dense reference).
+    ep_axis set (inside shard_map): expert stacks hold the LOCAL E/ep
+    slice; two tiled all_to_alls swap token slots against expert
+    shards.
+    """
+    b, t, d = x.shape
+    n = b * t
+    h = rmsnorm(x, layer["mlp_norm"], cfg.norm_eps)
+    flat = h.reshape(n, d)
+    logits = flat.astype(jnp.float32) @ layer["router"]
+    capacity = expert_capacity(n, cfg)
+    dispatch, combine, aux = route_tokens(logits, cfg.top_k, capacity)
+    dispatch = dispatch.astype(flat.dtype)
+    combine = combine.astype(flat.dtype)
+
+    xs = jnp.einsum("nec,nd->ecd", dispatch, flat)      # [E, C, d]
+    if ep_axis is not None:
+        # [E, C, d] -> [E/ep, ep*C, d]: every rank now holds all ranks'
+        # slots for its local experts.
+        xs = jax.lax.all_to_all(
+            xs, ep_axis, split_axis=0, concat_axis=1, tiled=True)
+    g = jnp.einsum("ecd,edf->ecf", xs, layer["w_gate"])
+    u = jnp.einsum("ecd,edf->ecf", xs, layer["w_up"])
+    ys = jnp.einsum("ecf,efd->ecd", jax.nn.silu(g) * u, layer["w_down"])
+    if ep_axis is not None:
+        ys = jax.lax.all_to_all(
+            ys, ep_axis, split_axis=1, concat_axis=0, tiled=True)
+    y = jnp.einsum("nec,ecd->nd", combine, ys)
+    return y.reshape(b, t, d), aux
+
+
+def moe_forward(params, tokens, cfg: MoEConfig, *, positions=None,
+                ep_axis=None, remat: bool = False):
+    """Logits [B, T, vocab] + mean aux dict over layers."""
+    b, t = tokens.shape
+    if positions is None:
+        positions = jnp.arange(t, dtype=jnp.int32)
+    x = params["embed"][tokens]
+    totals = {"load_balance": 0.0, "router_z": 0.0, "dropped_frac": 0.0}
+
+    def layer_fn(x, layer):
+        a, _ = _attention_block(layer, x, cfg, positions)
+        x = x + a
+        y, aux = moe_mlp(layer, x, cfg, ep_axis=ep_axis)
+        return x + y, aux
+
+    if remat:
+        layer_fn = jax.checkpoint(layer_fn)
+    for layer in params["layers"]:
+        x, aux = layer_fn(x, layer)
+        totals = {k: totals[k] + aux[k] for k in totals}
+    x = rmsnorm(x, params["final_norm"], cfg.norm_eps)
+    logits = _mm("btd,dv->btv", x, params["lm_head"])
+    return logits, {k: v / cfg.n_layers for k, v in totals.items()}
+
+
+def moe_loss_fn(params, tokens, cfg: MoEConfig, *, ep_axis=None,
+                remat: bool = False):
+    """Next-token CE + router aux objectives. Returns (loss, metrics)."""
+    logits, aux = moe_forward(
+        params, tokens[:, :-1], cfg, ep_axis=ep_axis, remat=remat)
+    targets = tokens[:, 1:]
+    logits = logits.astype(jnp.float32)
+    logz = jax.nn.logsumexp(logits, axis=-1)
+    gold = jnp.take_along_axis(logits, targets[..., None], axis=-1)[..., 0]
+    ce = jnp.mean(logz - gold)
+    loss = (ce + cfg.load_balance_coef * aux["load_balance"]
+            + cfg.router_z_coef * aux["router_z"])
+    return loss, {"ce": ce, **aux}
+
+
+def make_moe_train_step(mesh, cfg: MoEConfig, optimizer, *,
+                        remat: bool = False):
+    """Expert+data-parallel training step over a mesh with dp and ep
+    axes: tokens sharded over (dp, ep), expert stacks sharded over ep,
+    everything else replicated.
+
+    Returns step(params, opt_state, tokens) -> (params, opt_state,
+    loss, metrics); tokens [B, T] with B divisible by dp*ep.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    dp, ep = mesh.shape["dp"], mesh.shape["ep"]
+    if cfg.n_experts % ep:
+        raise ValueError(
+            f"ep={ep} must divide n_experts={cfg.n_experts}")
+    data = dp * ep
+    specs = moe_param_shardings(cfg)
+
+    def local_grads(params, tokens_local):
+        (loss, metrics), grads = jax.value_and_grad(
+            moe_loss_fn, has_aux=True)(
+                params, tokens_local, cfg,
+                ep_axis="ep" if ep > 1 else None, remat=remat)
+        # Mean over the token shards (dp x ep both carry data). Expert
+        # -sharded leaves hold DIFFERENT experts on each ep rank, so
+        # they reduce over dp only; psumming them over ep would mix
+        # distinct experts' gradients.
+        if data > 1:
+            loss, metrics = jax.tree.map(
+                lambda v: jax.lax.psum(v, ("dp", "ep")) / data,
+                (loss, metrics))
+            grads = jax.tree.map(
+                lambda s, g: jax.lax.psum(
+                    g, "dp" if "ep" in s else ("dp", "ep")) / data,
+                specs, grads, is_leaf=lambda x: isinstance(x, P))
+        return loss, metrics, grads
+
+    grad_fn = jax.shard_map(
+        local_grads, mesh=mesh,
+        in_specs=(specs, P(("dp", "ep"), None)),
+        out_specs=(P(), P(), specs),
+        check_vma=False)
+
+    @jax.jit
+    def step(params, opt_state, tokens):
+        import optax
+
+        loss, metrics, grads = grad_fn(params, tokens)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss, metrics
+
+    return step
