@@ -237,6 +237,23 @@ def _attention_block(layer, x, cfg, positions, attn_impl=None,
 
 
 def _mlp_block(layer, x, cfg, tp_axis=None):
+    """FFN block. Dispatches on the params: a layer carrying a
+    `router` key is a mixture-of-experts layer (models/moe.py) — this
+    is what lets every downstream path (training forward, prefill,
+    decode_step, the paged serving engine, sampling.generate) run MoE
+    models without a parallel code path; `cfg` must then be a
+    MoEConfig. The serving MoE path computes experts densely on the
+    local device; ep-sharded serving is a future refinement (training
+    shards experts via make_moe_train_step)."""
+    if "router" in layer:
+        if tp_axis is not None:
+            raise NotImplementedError(
+                "tensor-parallel serving of MoE layers is not wired; "
+                "run the engine unsharded or shard experts via ep")
+        from flash_attention_tpu.models.moe import moe_mlp
+
+        y, _ = moe_mlp(layer, x, cfg)
+        return y
     h = rmsnorm(x, layer["mlp_norm"], cfg.norm_eps)
     gate = _mm("btd,df->btf", h, layer["w_gate"])
     up = _mm("btd,df->btf", h, layer["w_up"])
