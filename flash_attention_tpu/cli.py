@@ -482,12 +482,19 @@ def cmd_serve_bench(args):
     eng = Engine(params, cfg, max_batch=args.batch,
                  num_pages=args.num_pages, page_size=args.page_size,
                  kv_quant_dtype=kvq, decode_chunk=args.decode_chunk,
-                 prefill_chunk=args.prefill_chunk)
+                 prefill_chunk=args.prefill_chunk,
+                 prefix_cache=args.prefix_cache)
+
+    # --shared-prefix: every request opens with this many common tokens
+    # (a system prompt) — the workload automatic prefix caching serves.
+    shared = list(rng.integers(0, cfg.vocab_size, args.shared_prefix)) \
+        if args.shared_prefix else []
 
     def make_reqs(n):
+        tail = max(args.prompt_len - len(shared), 1)
         return [
-            Request(prompt=list(
-                rng.integers(0, cfg.vocab_size, args.prompt_len)),
+            Request(prompt=shared + list(
+                rng.integers(0, cfg.vocab_size, tail)),
                 max_new_tokens=args.gen_len)
             for _ in range(n)
         ]
@@ -525,6 +532,8 @@ def cmd_serve_bench(args):
     total_gen = sum(len(c.tokens) for c in comps)
     s = EngineStats(
         prefill_tokens=eng.stats.prefill_tokens - base.prefill_tokens,
+        prefix_cached_tokens=(eng.stats.prefix_cached_tokens
+                              - base.prefix_cached_tokens),
         decode_tokens=eng.stats.decode_tokens - base.decode_tokens,
         engine_steps=eng.stats.engine_steps - base.engine_steps,
         prefill_s=eng.stats.prefill_s - base.prefill_s,
@@ -542,6 +551,11 @@ def cmd_serve_bench(args):
           f"{s.prefill_tokens / max(s.prefill_s, 1e-9):.0f} tok/s"
           + (f" (chunked, {args.prefill_chunk} tok/chunk)"
              if args.prefill_chunk else ""))
+    if args.prefix_cache:
+        tot = s.prefill_tokens + s.prefix_cached_tokens
+        print(f"  prefix cache: {s.prefix_cached_tokens} of {tot} "
+              f"prompt tok served from cache "
+              f"({100.0 * s.prefix_cached_tokens / max(tot, 1):.0f}%)")
     pct = s.ttft_percentiles()
     if pct:
         # p50 TTFT is a named driver metric (BASELINE.json).
@@ -647,6 +661,12 @@ def main(argv=None):
     ps_.add_argument("--prefill-chunk", type=int, default=None,
                      help="interleave prompt prefill with decode in "
                           "chunks of this many tokens (TTFT path)")
+    ps_.add_argument("--prefix-cache", action="store_true",
+                     help="automatic prefix caching (cached prompt "
+                          "pages reused; suffix-only prefill)")
+    ps_.add_argument("--shared-prefix", type=int, default=0,
+                     help="tokens of common system prompt across "
+                          "requests (prefix-cache workload)")
     ps_.add_argument("--arrival-rate", type=float, default=None,
                      help="open-loop Poisson arrival rate (req/s); "
                           "default is a closed burst of --requests")

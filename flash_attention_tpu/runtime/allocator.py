@@ -58,6 +58,19 @@ def _load_native():
         ctypes.c_void_p, ctypes.c_int32,
         ctypes.POINTER(ctypes.c_int32), ctypes.c_int32, ctypes.c_int32,
     ]
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    lib.pa_cache_put.restype = ctypes.c_int32
+    lib.pa_cache_put.argtypes = [
+        ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32, u64p]
+    lib.pa_cache_match.restype = ctypes.c_int32
+    lib.pa_cache_match.argtypes = [
+        ctypes.c_void_p, u64p, ctypes.c_int32, i32p]
+    lib.pa_cache_release.argtypes = [ctypes.c_void_p, i32p, ctypes.c_int32]
+    lib.pa_alloc_seq_prefixed.restype = ctypes.c_int32
+    lib.pa_alloc_seq_prefixed.argtypes = [
+        ctypes.c_void_p, ctypes.c_int32, i32p, ctypes.c_int32]
+    lib.pa_cache_stats.argtypes = [ctypes.c_void_p, i32p, i32p]
     return lib
 
 
@@ -136,6 +149,48 @@ class NativeAllocator:
             raise ValueError(f"bad seq {seq_id} or table too small")
         return out, n
 
+    # --- prefix cache (see paged_allocator.cc) ------------------------
+
+    def cache_put(self, seq_id: int, hashes) -> int:
+        import numpy as np
+        h = np.ascontiguousarray(np.asarray(hashes, np.uint64))
+        return self._lib.pa_cache_put(
+            self._pa, seq_id, len(h),
+            h.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)))
+
+    def cache_match(self, hashes):
+        """Longest cached prefix; returns ACQUIRED page ids (caller owns
+        the refs until alloc_prefixed / cache_release)."""
+        import numpy as np
+        h = np.ascontiguousarray(np.asarray(hashes, np.uint64))
+        out = np.empty(max(len(h), 1), np.int32)
+        m = self._lib.pa_cache_match(
+            self._pa,
+            h.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)), len(h),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+        return [int(p) for p in out[:m]]
+
+    def cache_release(self, pages) -> None:
+        import numpy as np
+        p = np.ascontiguousarray(np.asarray(pages, np.int32))
+        self._lib.pa_cache_release(
+            self._pa,
+            p.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), len(p))
+
+    def alloc_prefixed(self, tokens: int, prefix_pages) -> int:
+        import numpy as np
+        p = np.ascontiguousarray(np.asarray(prefix_pages, np.int32))
+        return self._lib.pa_alloc_seq_prefixed(
+            self._pa, tokens,
+            p.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), len(p))
+
+    def cache_stats(self) -> dict:
+        c = ctypes.c_int32(0)
+        e = ctypes.c_int32(0)
+        self._lib.pa_cache_stats(self._pa, ctypes.byref(c),
+                                 ctypes.byref(e))
+        return {"cached_pages": c.value, "evictable_pages": e.value}
+
 
 class PyAllocator:
     """Pure-Python fallback with the identical contract."""
@@ -147,10 +202,31 @@ class PyAllocator:
         self._free = list(range(num_pages - 1, -1, -1))
         self._ref = [0] * num_pages
         self._seqs = [None] * max_seqs  # None or (pages list, length)
+        # Prefix cache: chain hash -> page; LRU of evictable pages.
+        import collections
+        self._cache = {}
+        self._page_hash = [0] * num_pages
+        self._lru = collections.OrderedDict()   # page -> None, FIFO
 
     @property
     def free_pages(self) -> int:
-        return len(self._free)
+        return len(self._free) + len(self._lru)
+
+    def _take_page(self) -> int:
+        if self._free:
+            return self._free.pop()
+        if not self._lru:
+            return -1
+        p, _ = self._lru.popitem(last=False)    # evict oldest
+        del self._cache[self._page_hash[p]]
+        self._page_hash[p] = 0
+        return p
+
+    def _retire_page(self, p: int) -> None:
+        if self._page_hash[p]:
+            self._lru[p] = None
+        else:
+            self._free.append(p)
 
     def _find_slot(self):
         for i, s in enumerate(self._seqs):
@@ -164,11 +240,11 @@ class PyAllocator:
     def alloc(self, tokens: int) -> int:
         sid = self._find_slot()
         need = self._pages_needed(tokens)
-        if sid < 0 or len(self._free) < need:
+        if sid < 0 or self.free_pages < need:
             return -1
         pages = []
         for _ in range(need):
-            p = self._free.pop()
+            p = self._take_page()
             self._ref[p] = 1
             pages.append(p)
         self._seqs[sid] = (pages, tokens)
@@ -180,10 +256,10 @@ class PyAllocator:
         pages, _ = self._seqs[seq_id]
         need = self._pages_needed(new_len)
         if need > len(pages):
-            if len(self._free) < need - len(pages):
+            if self.free_pages < need - len(pages):
                 return False
             for _ in range(need - len(pages)):
-                p = self._free.pop()
+                p = self._take_page()
                 self._ref[p] = 1
                 pages.append(p)
         self._seqs[seq_id] = (pages, new_len)
@@ -210,13 +286,18 @@ class PyAllocator:
             raise ValueError(f"bad seq {seq_id}")
         pages, _ = s
         last = pages[-1]
-        if self._ref[last] == 1:
+        # A hash-registered page is content-addressed; never mutate it
+        # in place even when exclusively owned (defensive — only FULL
+        # pages register, and full pages are never mutation targets).
+        if self._ref[last] == 1 and not self._page_hash[last]:
             return last, -1
-        if not self._free:
+        fresh = self._take_page()
+        if fresh < 0:
             raise MemoryError("no free pages for copy-on-write")
-        fresh = self._free.pop()
         self._ref[fresh] = 1
         self._ref[last] -= 1
+        if self._ref[last] == 0:
+            self._retire_page(last)
         pages[-1] = fresh
         return fresh, last
 
@@ -227,7 +308,7 @@ class PyAllocator:
         for p in pages:
             self._ref[p] -= 1
             if self._ref[p] == 0:
-                self._free.append(p)
+                self._retire_page(p)
         self._seqs[seq_id] = None
 
     def length(self, seq_id: int) -> int:
@@ -242,6 +323,60 @@ class PyAllocator:
         out = np.full(max_pages, fill, np.int32)
         out[: len(s[0])] = s[0]
         return out, len(s[0])
+
+    # --- prefix cache (mirrors the native contract) -------------------
+
+    def cache_put(self, seq_id: int, hashes) -> int:
+        if not self._valid(seq_id):
+            return -1
+        pages, _ = self._seqs[seq_id]
+        if len(hashes) > len(pages):
+            return -1
+        added = 0
+        for h, p in zip(hashes, pages):
+            h = int(h)
+            if h == 0 or self._page_hash[p] or h in self._cache:
+                continue
+            self._cache[h] = p
+            self._page_hash[p] = h
+            added += 1
+        return added
+
+    def cache_match(self, hashes):
+        out = []
+        for h in hashes:
+            p = self._cache.get(int(h))
+            if p is None:
+                break
+            if self._ref[p] == 0:
+                del self._lru[p]
+            self._ref[p] += 1
+            out.append(p)
+        return out
+
+    def cache_release(self, pages) -> None:
+        for p in pages:
+            self._ref[p] -= 1
+            if self._ref[p] == 0:
+                self._retire_page(p)
+
+    def alloc_prefixed(self, tokens: int, prefix_pages) -> int:
+        sid = self._find_slot()
+        need = self._pages_needed(tokens)
+        if (sid < 0 or len(prefix_pages) > need
+                or self.free_pages < need - len(prefix_pages)):
+            return -1
+        pages = list(prefix_pages)
+        for _ in range(need - len(pages)):
+            p = self._take_page()
+            self._ref[p] = 1
+            pages.append(p)
+        self._seqs[sid] = (pages, tokens)
+        return sid
+
+    def cache_stats(self) -> dict:
+        return {"cached_pages": len(self._cache),
+                "evictable_pages": len(self._lru)}
 
 
 def make_allocator(num_pages: int, page_size: int, max_seqs: int):

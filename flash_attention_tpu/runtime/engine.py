@@ -109,11 +109,13 @@ class _PrefillTask:
     need_pages: int                   # admission reservation (all forks)
     worst: int                        # branch-0 reservation
     branch_worst: int
+    prefix_pages: tuple = ()          # cached pages reused (prefix cache)
 
 
 @dataclasses.dataclass
 class EngineStats:
     prefill_tokens: int = 0
+    prefix_cached_tokens: int = 0     # prompt tokens served from cache
     decode_tokens: int = 0
     engine_steps: int = 0
     prefill_s: float = 0.0
@@ -149,7 +151,7 @@ class Engine:
                  max_seq_len: int | None = None, cache_dtype=None,
                  tail_size: int | None = None, kv_quant_dtype=None,
                  decode_chunk: int = 1, prefill_chunk: int | None = None,
-                 mesh=None, seed: int = 0):
+                 prefix_cache: bool = False, mesh=None, seed: int = 0):
         self.params = params
         self.cfg = cfg
         self.max_batch = max_batch
@@ -179,6 +181,15 @@ class Engine:
         if prefill_chunk is not None and prefill_chunk < 1:
             raise ValueError("prefill_chunk must be >= 1")
         self.prefill_chunk = prefill_chunk
+
+        # Automatic prefix caching (RadixAttention-style): prompt pages
+        # are content-addressed by token chain hashes in the page
+        # allocator; a new prompt sharing a cached page-aligned prefix
+        # reuses those pages and prefills only the suffix (through the
+        # chunked-prefill machinery, whose prefix buffer is gathered
+        # from the cached pages). Freed pages stay resident until
+        # memory pressure evicts them LRU, so capacity is unaffected.
+        self.prefix_cache = prefix_cache
 
         self.decode_chunk = max(1, decode_chunk)
         if self.decode_chunk >= self.cache.tail_size:
@@ -364,31 +375,60 @@ class Engine:
                     f"(max_seq_len {self.max_seq_len}), n={n} "
                     f"(max_batch {self.max_batch}), worst-case pages "
                     f"{need} (usable {total_usable})")
+            # Prefix-cache probe (pages acquired; released on any
+            # admission failure below). Feasibility above deliberately
+            # ignored the discount: a request must fit a COLD cache.
+            cached = []
+            if self.prefix_cache:
+                cached, _ = self.cache.match_prefix(prompt)
+            m = len(cached)
+            need -= m
+
             free_slots = [i for i, s in enumerate(self.slots)
                           if s is None]
-            if len(free_slots) - self._promised_slots() < n:
-                break
-            if self.cache.free_pages - self._reserved_pages() < need:
-                break                       # wait for pages to free up
+            if (len(free_slots) - self._promised_slots() < n
+                    or self.cache.free_pages - self._reserved_pages()
+                    < need):
+                if cached:
+                    self.cache.release_pages(cached)
+                break                       # wait for slots/pages
             self.pending.popleft()
 
-            if self.prefill_chunk is not None:
+            if self.prefill_chunk is not None or m:
                 tb = _bucket(t)
-                shape = (self.cfg.n_layers, 1, self.cfg.n_kv_heads, tb,
-                         self.cfg.head_dim)
-                kb = jnp.zeros(shape, self.cfg.dtype)
-                vb = jnp.zeros(shape, self.cfg.dtype)
+                if m:
+                    kb, vb = self.cache.gather_pages(cached, tb)
+                    self.stats.prefix_cached_tokens += \
+                        m * self.cache.page_size
+                else:
+                    shape = (self.cfg.n_layers, 1, self.cfg.n_kv_heads,
+                             tb, self.cfg.head_dim)
+                    kb = jnp.zeros(shape, self.cfg.dtype)
+                    vb = jnp.zeros(shape, self.cfg.dtype)
                 if self.mesh is not None:
                     from jax.sharding import NamedSharding
                     sh = NamedSharding(self.mesh, self._buf_spec)
                     kb = jax.device_put(kb, sh)
                     vb = jax.device_put(vb, sh)
+                # Chunk-size invariant: every dispatch writes `chunk`
+                # rows at offset `done` via dynamic_update_slice, which
+                # CLAMPS an out-of-range start (silently corrupting
+                # earlier KV). Starts are m*page_size + k*chunk, so a
+                # power-of-two chunk dividing the suffix span makes
+                # every start + chunk <= bucket exactly.
+                span = tb - m * self.cache.page_size
+                chunk = min(self.prefill_chunk or span, span)
+                chunk = 1 << (chunk.bit_length() - 1)
+                while span % chunk:
+                    chunk //= 2
                 self.prefilling.append(_PrefillTask(
                     request=req, prompt=prompt, bucket=tb,
-                    chunk=min(self.prefill_chunk, tb), done=0,
+                    chunk=chunk,
+                    done=m * self.cache.page_size,
                     k_bufs=kb, v_bufs=vb,
                     logits=None, need_pages=need, worst=worst,
-                    branch_worst=branch_worst))
+                    branch_worst=branch_worst,
+                    prefix_pages=tuple(cached)))
                 continue
 
             tb = _bucket(t)
@@ -401,21 +441,31 @@ class Engine:
             self.stats.prefill_s += time.perf_counter() - t0
             done.extend(self._install_sequences(
                 req, logits, ks[:, 0, :, :t], vs[:, 0, :, :t], t,
-                worst, branch_worst))
+                worst, branch_worst, prompt=prompt))
         return done
 
     def _install_sequences(self, req, logits, ks, vs, t, worst,
-                           branch_worst) -> list[Completion]:
-        """Prompt KV is ready: page it in, fork n-1 branches, fill decode
-        slots, sample + timestamp the first token (TTFT)."""
+                           branch_worst, prefix_pages=(),
+                           prompt=None) -> list[Completion]:
+        """Prompt KV is ready: page it in (only the suffix past any
+        cached prefix pages), fork n-1 branches, fill decode slots,
+        sample + timestamp the first token (TTFT)."""
         done = []
         n = max(1, req.n)
         free_slots = [i for i, s in enumerate(self.slots) if s is None]
-        sid = self.cache.add_sequence(ks, vs)
+        if prefix_pages:
+            start = len(prefix_pages) * self.cache.page_size
+            sid = self.cache.add_sequence_prefixed(
+                list(prefix_pages), ks[:, :, start:], vs[:, :, start:], t)
+        else:
+            sid = self.cache.add_sequence(ks, vs)
+        if self.prefix_cache and prompt is not None:
+            self.cache.register_prefix(sid, np.asarray(prompt)[:t])
         sids = [sid] + [self.cache.fork_sequence(sid)
                         for _ in range(n - 1)]
         jax.block_until_ready(self.cache.k_pools)
-        self.stats.prefill_tokens += t
+        self.stats.prefill_tokens += \
+            t - len(prefix_pages) * self.cache.page_size
         ttft = (time.perf_counter() - req.submit_ts
                 if req.submit_ts is not None else None)
         if ttft is not None:
@@ -442,7 +492,11 @@ class Engine:
         bounded to ~one chunk of stall); sequences whose final chunk
         lands install into decode slots immediately."""
         done = []
-        budget = self.prefill_chunk or 0
+        # With chunked prefill off, tasks exist only via the prefix
+        # cache; their whole suffix runs in one dispatch (chunk=bucket).
+        budget = self.prefill_chunk or (
+            max(t.chunk for t in self.prefilling) if self.prefilling
+            else 0)
         while self.prefilling and budget > 0:
             task = self.prefilling[0]
             t = len(task.prompt)
@@ -470,10 +524,12 @@ class Engine:
             done.extend(self._install_sequences(
                 task.request, task.logits,
                 task.k_bufs[:, 0, :, :t], task.v_bufs[:, 0, :, :t], t,
-                task.worst, task.branch_worst))
+                task.worst, task.branch_worst,
+                prefix_pages=task.prefix_pages, prompt=task.prompt))
         return done
 
-    def _maybe_finish(self, slot: _Slot) -> Completion | None:
+    def _maybe_finish(self, slot: _Slot,
+                      slot_idx: int | None = None) -> Completion | None:
         req = slot.request
         last = slot.generated[-1]
         if req.eos_id is not None and last == req.eos_id:
@@ -482,6 +538,31 @@ class Engine:
             reason = "length"
         else:
             return None
+        if self.prefix_cache:
+            # Register full pages covering the prompt + generated
+            # tokens whose KV was fed (the last sampled token never
+            # was), so multi-turn prompts extending this transcript
+            # hit the cache. Unflushed tail tokens that would complete
+            # a new full page are flushed first (finish-time only, and
+            # only when it wins at least one cacheable page).
+            fed = np.concatenate([
+                np.asarray(slot.request.prompt, np.int32),
+                np.asarray(slot.generated[:-1], np.int32)])
+            paged = max(self.cache.length(slot.seq_id), 0)
+            ps = self.cache.page_size
+            if (slot_idx is not None and slot.tail
+                    and (paged + slot.tail) // ps > paged // ps):
+                counts = [0] * self.max_batch
+                counts[slot_idx] = slot.tail
+                self.cache.flush_tails(
+                    [s.seq_id if s else -1 for s in self.slots], counts)
+                slot.tail = 0
+                paged = max(self.cache.length(slot.seq_id), 0)
+            usable = min(len(fed), paged)
+            n_full = usable // ps
+            if n_full:
+                self.cache.register_prefix(
+                    slot.seq_id, fed[:n_full * ps])
         self.cache.free_sequence(slot.seq_id)
         return Completion(
             request_id=req.request_id, prompt_len=slot.prompt_len,
@@ -600,7 +681,7 @@ class Engine:
                 s.next_token = tok
                 s.generated.append(tok)
                 accepted += 1
-                fin = self._maybe_finish(s)
+                fin = self._maybe_finish(s, slot_idx=i)
                 if fin is not None:
                     done.append(fin)
                     self.slots[i] = None

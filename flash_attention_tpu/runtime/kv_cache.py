@@ -31,6 +31,25 @@ from flash_attention_tpu.ops.quant import QUANT_BLOCK, _QMAX
 from flash_attention_tpu.runtime.allocator import make_allocator
 
 
+def page_chain_hashes(tokens, page_size: int):
+    """Chain hashes identifying each FULL page of a token sequence for
+    the allocator's prefix cache: hash(page_i) mixes page i's tokens
+    with hash(page_{i-1}), so equal hash <=> equal token PREFIX through
+    page i (not merely an equal page). uint64, 0 reserved as "none"."""
+    import hashlib
+
+    tokens = np.ascontiguousarray(np.asarray(tokens, np.int32))
+    out = []
+    prev = b""
+    for i in range(len(tokens) // page_size):
+        d = hashlib.blake2b(
+            prev + tokens[i * page_size:(i + 1) * page_size].tobytes(),
+            digest_size=8).digest()
+        prev = d
+        out.append(int.from_bytes(d, "little") or 1)
+    return np.asarray(out, np.uint64)
+
+
 @jax.jit
 def _write_tokens(pool, page_ids, offsets, new):
     """Scatter new tokens into pool pages.
@@ -379,6 +398,80 @@ class LayeredPagedKVCache:
 
     def extend(self, seq_id: int, new_len: int) -> bool:
         return self.allocator.extend(seq_id, new_len)
+
+    # --- prefix cache -------------------------------------------------
+
+    def add_sequence_prefixed(self, prefix_pages, ks, vs,
+                              total_len: int) -> int:
+        """Admit a sequence whose first len(prefix_pages)*page_size
+        tokens are already resident in cached pages (acquired via
+        allocator.cache_match); ks/vs [L, Hkv, T_suffix, D] hold ONLY
+        the suffix KV, written after the prefix. Raises MemoryError and
+        releases the acquired pages on failure."""
+        sid = self.allocator.alloc_prefixed(max(total_len, 1),
+                                            prefix_pages)
+        if sid < 0:
+            self.allocator.cache_release(prefix_pages)
+            raise MemoryError("KV pool exhausted")
+        start = len(prefix_pages) * self.page_size
+        if ks is not None and ks.shape[2]:
+            self.write(sid, start, ks, vs)
+        return sid
+
+    def register_prefix(self, seq_id: int, tokens) -> int:
+        """Register the sequence's full pages under the token chain
+        hashes so later prompts sharing the prefix reuse their KV."""
+        hashes = page_chain_hashes(tokens, self.page_size)
+        if not len(hashes):
+            return 0
+        return self.allocator.cache_put(seq_id, hashes)
+
+    def match_prefix(self, tokens):
+        """(acquired_pages, hashes) for the longest cached prefix of
+        `tokens`, capped one page short of covering everything (at
+        least one suffix token must be prefilled to produce the first
+        logits)."""
+        hashes = page_chain_hashes(tokens, self.page_size)
+        cap = max((len(tokens) - 1) // self.page_size, 0)
+        if not cap:
+            return [], hashes
+        pages = self.allocator.cache_match(hashes[:cap])
+        return pages, hashes
+
+    def gather_pages(self, pages, out_len: int):
+        """Dense [L, 1, Hkv, out_len, D] K/V buffers holding the given
+        pages' tokens first (dequantized when the pools are quantized),
+        zero past them — the chunked-prefill prefix buffer for a cached
+        prompt."""
+        n = len(pages)
+        idx = jnp.asarray(list(pages), jnp.int32)
+        t = n * self.page_size
+
+        def gather(pool, scales):
+            g = pool[:, idx]                      # [Hkv, n, ps, D]
+            if scales is not None:
+                sc = scales[:, idx]               # [Hkv, n, ps/QB, D]
+                gf = g.astype(jnp.float32).reshape(
+                    self.kv_heads, n, self.page_size // QUANT_BLOCK,
+                    QUANT_BLOCK, self.head_dim)
+                g = (gf * sc[:, :, :, None, :]).astype(self.dtype)
+            g = g.reshape(self.kv_heads, t, self.head_dim)
+            out = jnp.zeros(
+                (self.kv_heads, out_len, self.head_dim), self.dtype)
+            return out.at[:, :t].set(g.astype(self.dtype))
+
+        ks, vs = [], []
+        for li in range(self.n_layers):
+            ksc = (self.k_scale_pools[li]
+                   if self.quant_dtype is not None else None)
+            vsc = (self.v_scale_pools[li]
+                   if self.quant_dtype is not None else None)
+            ks.append(gather(self.k_pools[li], ksc)[None])
+            vs.append(gather(self.v_pools[li], vsc)[None])
+        return jnp.stack(ks), jnp.stack(vs)
+
+    def release_pages(self, pages) -> None:
+        self.allocator.cache_release(pages)
 
     def fork_sequence(self, seq_id: int) -> int:
         """Fork: the new sequence shares every page (refcounted); page
