@@ -481,9 +481,11 @@ def cmd_serve_bench(args):
            None: None, "none": None}[args.kv_quant]
     eng = Engine(params, cfg, max_batch=args.batch,
                  num_pages=args.num_pages, page_size=args.page_size,
-                 kv_quant_dtype=kvq, decode_chunk=args.decode_chunk,
+                 kv_quant_dtype=kvq,
+                 decode_chunk=1 if args.spec_k else args.decode_chunk,
                  prefill_chunk=args.prefill_chunk,
-                 prefix_cache=args.prefix_cache)
+                 prefix_cache=args.prefix_cache,
+                 speculative_k=args.spec_k)
 
     # --shared-prefix: every request opens with this many common tokens
     # (a system prompt) — the workload automatic prefix caching serves.
@@ -534,6 +536,8 @@ def cmd_serve_bench(args):
         prefill_tokens=eng.stats.prefill_tokens - base.prefill_tokens,
         prefix_cached_tokens=(eng.stats.prefix_cached_tokens
                               - base.prefix_cached_tokens),
+        spec_proposed=eng.stats.spec_proposed - base.spec_proposed,
+        spec_accepted=eng.stats.spec_accepted - base.spec_accepted,
         decode_tokens=eng.stats.decode_tokens - base.decode_tokens,
         engine_steps=eng.stats.engine_steps - base.engine_steps,
         prefill_s=eng.stats.prefill_s - base.prefill_s,
@@ -556,6 +560,12 @@ def cmd_serve_bench(args):
         print(f"  prefix cache: {s.prefix_cached_tokens} of {tot} "
               f"prompt tok served from cache "
               f"({100.0 * s.prefix_cached_tokens / max(tot, 1):.0f}%)")
+    if args.spec_k:
+        print(f"  speculative: {s.spec_accepted}/{s.spec_proposed} "
+              f"drafts accepted "
+              f"({100.0 * s.spec_accepted / max(s.spec_proposed, 1):.0f}%"
+              f"), {s.decode_tokens / max(s.engine_steps, 1):.2f} "
+              f"tok/dispatch")
     pct = s.ttft_percentiles()
     if pct:
         # p50 TTFT is a named driver metric (BASELINE.json).
@@ -661,6 +671,10 @@ def main(argv=None):
     ps_.add_argument("--prefill-chunk", type=int, default=None,
                      help="interleave prompt prefill with decode in "
                           "chunks of this many tokens (TTFT path)")
+    ps_.add_argument("--spec-k", type=int, default=0,
+                     help="speculative decoding: n-gram prompt-lookup "
+                          "drafts of this depth, verified in one "
+                          "multi-token dispatch (greedy only)")
     ps_.add_argument("--prefix-cache", action="store_true",
                      help="automatic prefix caching (cached prompt "
                           "pages reused; suffix-only prefill)")

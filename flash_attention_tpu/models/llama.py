@@ -434,26 +434,32 @@ def prefill_chunk_step(params, tokens, cfg: LlamaConfig, k_bufs, v_bufs,
 
 
 def _tail_attention(q, kt, vt, tail_pos, scale):
-    """Exact attention of q [B, Hkv, G, D] over the dense tail buffer
-    kt/vt [B, Hkv, T, D] with per-sequence valid count tail_pos+1.
-    Plain jnp (XLA-fused): the tail is the MUTATED segment of the cache,
-    and keeping its consumer out of a Pallas custom call is what lets
-    the per-token scatter stay in place (custom-call operands cannot
-    alias in-program scatter results; XLA inserts full-buffer copies —
-    measured 13 ms/step of copies at 1B scale).
+    """Exact attention of q [B, Hkv, G, T, D] (T new positions, e.g.
+    1 for plain decode or k+1 for a speculative block) over the dense
+    tail buffer kt/vt [B, Hkv, S, D]. Query position t sees tail rows
+    [0, tail_pos + t] — causal within the new block, everything before
+    it unconditionally. Plain jnp (XLA-fused): the tail is the MUTATED
+    segment of the cache, and keeping its consumer out of a Pallas
+    custom call is what lets the per-token scatter stay in place
+    (custom-call operands cannot alias in-program scatter results; XLA
+    inserts full-buffer copies — measured 13 ms/step of copies at 1B
+    scale).
 
-    Returns (o [B, Hkv, G, D] f32, lse [B, Hkv, G] f32).
+    Returns (o [B, Hkv, G, T, D] f32, lse [B, Hkv, G, T] f32).
     """
     s = jnp.einsum(
-        "bhgd,bhtd->bhgt", q.astype(jnp.float32), kt.astype(jnp.float32),
+        "bhgtd,bhsd->bhgts", q.astype(jnp.float32),
+        kt.astype(jnp.float32),
     ) * scale
-    t = s.shape[-1]
-    col = jnp.arange(t)[None, None, None, :]
-    s = jnp.where(col > tail_pos[:, None, None, None], -jnp.inf, s)
+    S = s.shape[-1]
+    col = jnp.arange(S)[None, None, None, None, :]
+    row = jnp.arange(s.shape[3])[None, None, None, :, None]
+    limit = tail_pos[:, None, None, None, None] + row
+    s = jnp.where(col > limit, -jnp.inf, s)
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - m)
     l = jnp.sum(p, axis=-1, keepdims=True)
-    o = jnp.einsum("bhgt,bhtd->bhgd", p / l, vt.astype(jnp.float32))
+    o = jnp.einsum("bhgts,bhsd->bhgtd", p / l, vt.astype(jnp.float32))
     lse = (m + jnp.log(l))[..., 0]
     return o, lse
 
@@ -484,16 +490,45 @@ def decode_step_paged(params, token, cfg: LlamaConfig, k_pages, v_pages,
 
     Returns (logits [B, vocab], k_tails, v_tails).
     """
+    logits, new_k_tails, new_v_tails = decode_step_paged_multi(
+        params, token[:, None], cfg, k_pages, v_pages, k_tails, v_tails,
+        page_tables, paged_lens, tail_pos, k_scales=k_scales,
+        v_scales=v_scales, tp_axis=tp_axis)
+    return logits[:, 0], new_k_tails, new_v_tails
+
+
+def decode_step_paged_multi(params, tokens, cfg: LlamaConfig, k_pages,
+                            v_pages, k_tails, v_tails, page_tables,
+                            paged_lens, tail_pos, k_scales=None,
+                            v_scales=None, tp_axis=None):
+    """T-token decode step: process tokens [B, T] in ONE forward (one
+    weight read for all T positions — the speculative-decoding
+    verification primitive; T=1 is the plain decode step).
+
+    Position t of each sequence sits at paged_lens + tail_pos + t. All
+    T queries attend the (read-only) paged prefix identically, so the
+    paged kernel sees them folded into its GQA group dim; causality
+    among the new positions lives in the tail mask (query t sees tail
+    rows <= tail_pos + t). All T tokens' KV is written into the tail —
+    a speculative caller that rejects a suffix simply advances tail_pos
+    by the accepted count, leaving rejected rows stale (masked, and
+    overwritten by the next step).
+
+    Returns (logits [B, T, vocab], k_tails, v_tails).
+    """
     from flash_attention_tpu.ops.paged import paged_flash_decode
 
-    b = token.shape[0]
+    b, t_new = tokens.shape
     hkv = k_tails[0].shape[1]          # LOCAL kv heads (= cfg's under tp=1)
     group = cfg.n_heads // cfg.n_kv_heads
     n_heads_local = hkv * group
-    scale = 1.0 / float(np.sqrt(cfg.head_dim))
-    positions = (paged_lens + tail_pos)[:, None]      # [B, 1]
+    hd = cfg.head_dim
+    scale = 1.0 / float(np.sqrt(hd))
+    positions = (paged_lens + tail_pos)[:, None] + \
+        jnp.arange(t_new, dtype=jnp.int32)[None, :]   # [B, T]
     bidx = jnp.arange(b)
-    x = params["embed"][token][:, None]               # [B, 1, D]
+    trow = tail_pos[:, None] + jnp.arange(t_new)[None, :]  # [B, T]
+    x = params["embed"][tokens]                       # [B, T, D]
     new_k_tails, new_v_tails = [], []
     if k_scales is None:
         k_scales = v_scales = [None] * cfg.n_layers
@@ -506,27 +541,32 @@ def decode_step_paged(params, token, cfg: LlamaConfig, k_pages, v_pages,
         v = _mm("btd,dhk->bhtk", h, layer["wv"])
         q = rope(q, positions, cfg.rope_theta)
         k = rope(k, positions, cfg.rope_theta)
-        kt = kt.at[bidx, :, tail_pos, :].set(k[:, :, 0].astype(kt.dtype))
-        vt = vt.at[bidx, :, tail_pos, :].set(v[:, :, 0].astype(vt.dtype))
+        kt = kt.at[bidx[:, None], :, trow, :].set(
+            jnp.moveaxis(k, 1, 2).astype(kt.dtype))
+        vt = vt.at[bidx[:, None], :, trow, :].set(
+            jnp.moveaxis(v, 1, 2).astype(vt.dtype))
         new_k_tails.append(kt)
         new_v_tails.append(vt)
 
-        qg = q[:, :, 0].reshape(b, hkv, group, cfg.head_dim)
+        # [B, Hkv, G, T, D]; fold (G, T) into the paged kernel's group.
+        qg = q.reshape(b, hkv, group, t_new, hd)
         o_p, lse_p = paged_flash_decode(
-            q[:, :, 0], kp, vp, page_tables, paged_lens,
+            qg.reshape(b, hkv * group * t_new, hd), kp, vp,
+            page_tables, paged_lens,
             k_scales=ksc, v_scales=vsc, scale=scale, return_lse=True)
-        o_p = o_p.reshape(b, hkv, group, cfg.head_dim).astype(jnp.float32)
-        lse_p = lse_p.reshape(b, hkv, group)
+        o_p = o_p.reshape(b, hkv, group, t_new, hd).astype(jnp.float32)
+        lse_p = lse_p.reshape(b, hkv, group, t_new)
         o_t, lse_t = _tail_attention(qg, kt, vt, tail_pos, scale)
         lse = jnp.logaddexp(lse_p, lse_t)
         o = (o_p * jnp.exp(lse_p - lse)[..., None]
              + o_t * jnp.exp(lse_t - lse)[..., None])
-        o = o.reshape(b, n_heads_local,
-                      cfg.head_dim).astype(x.dtype)[:, :, None]
+        o = o.reshape(b, n_heads_local, t_new, hd).astype(x.dtype)
         x = x + _psum(_mm("bhtk,hkd->btd", o, layer["wo"]), tp_axis)
         x = x + _mlp_block(layer, x, cfg, tp_axis=tp_axis)
     x = rmsnorm(x, params["final_norm"], cfg.norm_eps)
-    logits = _lm_head_logits(params, x[:, 0], tp_axis)
+    logits = _mm("btd,dv->btv", x, params["lm_head"])
+    if tp_axis is not None:
+        logits = jax.lax.all_gather(logits, tp_axis, axis=2, tiled=True)
     return logits, new_k_tails, new_v_tails
 
 

@@ -44,6 +44,7 @@ import numpy as np
 from flash_attention_tpu.models.llama import (
     LlamaConfig,
     decode_step_paged,
+    decode_step_paged_multi,
     prefill_chunk_step,
     prefill_kv,
     serving_param_shardings,
@@ -117,6 +118,8 @@ class EngineStats:
     prefill_tokens: int = 0
     prefix_cached_tokens: int = 0     # prompt tokens served from cache
     decode_tokens: int = 0
+    spec_proposed: int = 0            # draft tokens offered
+    spec_accepted: int = 0            # draft tokens confirmed
     engine_steps: int = 0
     prefill_s: float = 0.0
     decode_s: float = 0.0
@@ -136,6 +139,32 @@ class EngineStats:
         return {"p50": pick(0.50), "p90": pick(0.90), "p99": pick(0.99)}
 
 
+def propose_ngram_draft(history, k: int, ngram: int = 2):
+    """Prompt-lookup draft: find the most recent earlier occurrence of
+    the history's trailing `ngram` and propose the k tokens that
+    followed it (padded with the continuation's last token when it runs
+    short). No match (or too-short history) proposes the last token
+    repeated — a harmless low-acceptance draft. Host-side numpy; the
+    model itself is the only verifier, so speculation can never change
+    greedy output."""
+    h = np.asarray(history, np.int32)
+    n = len(h)
+    if n == 0:
+        return np.zeros(k, np.int32)
+    if n >= ngram + 1:
+        pat = h[-ngram:]
+        w = np.lib.stride_tricks.sliding_window_view(h[:-1], ngram)
+        starts = np.nonzero((w == pat).all(axis=1))[0]
+        if len(starts):
+            st = int(starts[-1])
+            cont = h[st + ngram: st + ngram + k]
+            out = np.empty(k, np.int32)
+            out[: len(cont)] = cont
+            out[len(cont):] = cont[-1]
+            return out
+    return np.full(k, h[-1], np.int32)
+
+
 def _bucket(n: int, lo: int = 64) -> int:
     b = lo
     while b < n:
@@ -151,7 +180,8 @@ class Engine:
                  max_seq_len: int | None = None, cache_dtype=None,
                  tail_size: int | None = None, kv_quant_dtype=None,
                  decode_chunk: int = 1, prefill_chunk: int | None = None,
-                 prefix_cache: bool = False, mesh=None, seed: int = 0):
+                 prefix_cache: bool = False, speculative_k: int = 0,
+                 mesh=None, seed: int = 0):
         self.params = params
         self.cfg = cfg
         self.max_batch = max_batch
@@ -194,6 +224,22 @@ class Engine:
         self.decode_chunk = max(1, decode_chunk)
         if self.decode_chunk >= self.cache.tail_size:
             raise ValueError("decode_chunk must be < tail_size")
+
+        # Speculative decoding (n-gram prompt-lookup drafts): each
+        # engine step feeds [next_token, k drafts] through ONE
+        # multi-token decode dispatch (one weight read for k+1
+        # positions) and accepts the longest agreeing prefix — greedy
+        # output is provably unchanged, the win is fewer weight reads
+        # and host syncs per token. Rejected tail rows simply stay
+        # stale behind tail_pos.
+        self.speculative_k = max(0, int(speculative_k))
+        if self.speculative_k:
+            if decode_chunk > 1:
+                raise ValueError(
+                    "speculative_k and decode_chunk>1 are mutually "
+                    "exclusive decode strategies")
+            if self.speculative_k + 1 >= self.cache.tail_size:
+                raise ValueError("speculative_k + 1 must be < tail_size")
 
         # --- TP sharding (mesh mode) ---------------------------------
         # Engine under a mesh: params laid out per
@@ -266,6 +312,17 @@ class Engine:
                 jnp.arange(self.decode_chunk))
             return toks, k_tails, v_tails
 
+        def _spec(params, tokens, k_pages, v_pages, k_tails, v_tails,
+                  tables, paged_lens, tail_pos, k_scales, v_scales):
+            """Speculative verify: k+1 positions in one dispatch; only
+            the greedy argmax row travels back to the host."""
+            logits, kt, vt = decode_step_paged_multi(
+                params, tokens, cfg, k_pages, v_pages, k_tails, v_tails,
+                tables, paged_lens, tail_pos,
+                k_scales=k_scales, v_scales=v_scales, tp_axis=tp_axis)
+            out = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            return out, kt, vt
+
         def _prefill(params, tokens, true_len):
             return prefill_kv(params, tokens, cfg, true_len=true_len,
                               tp_axis=tp_axis)
@@ -292,6 +349,12 @@ class Engine:
                           tail_spec, rep, rep, rep, scale_spec,
                           scale_spec, rep, rep),
                 out_specs=(rep, tail_spec, tail_spec))
+            _spec = shmap(
+                _spec,
+                in_specs=(pspecs, rep, pool_spec, pool_spec, tail_spec,
+                          tail_spec, rep, rep, rep, scale_spec,
+                          scale_spec),
+                out_specs=(rep, tail_spec, tail_spec))
             kv_out = P(None, None, "tp", None, None)
             _prefill = shmap(
                 _prefill, in_specs=(pspecs, rep, rep),
@@ -305,6 +368,7 @@ class Engine:
         # Tails are donated (mutated per step); pages are read-only in
         # the decode step and flushed separately (kv_cache.flush_tails).
         self._decode_fn = jax.jit(_decode, donate_argnums=(4, 5))
+        self._spec_fn = jax.jit(_spec, donate_argnums=(4, 5))
         self._decode_chunk_fn = jax.jit(_decode_chunk,
                                         donate_argnums=(4, 5))
         self._prefill_fn = jax.jit(_prefill)
@@ -463,7 +527,6 @@ class Engine:
             self.cache.register_prefix(sid, np.asarray(prompt)[:t])
         sids = [sid] + [self.cache.fork_sequence(sid)
                         for _ in range(n - 1)]
-        jax.block_until_ready(self.cache.k_pools)
         self.stats.prefill_tokens += \
             t - len(prefix_pages) * self.cache.page_size
         ttft = (time.perf_counter() - req.submit_ts
@@ -493,10 +556,11 @@ class Engine:
         lands install into decode slots immediately."""
         done = []
         # With chunked prefill off, tasks exist only via the prefix
-        # cache; their whole suffix runs in one dispatch (chunk=bucket).
-        budget = self.prefill_chunk or (
-            max(t.chunk for t in self.prefilling) if self.prefilling
-            else 0)
+        # cache (one dispatch each, chunk = suffix span) — drain them
+        # all this step; monolithic mode has no interleaving contract.
+        budget = self.prefill_chunk or float("inf")
+        if not self.prefilling:
+            budget = 0
         while self.prefilling and budget > 0:
             task = self.prefilling[0]
             t = len(task.prompt)
@@ -622,8 +686,10 @@ class Engine:
             return done
 
         chunk = self.decode_chunk
+        step_tokens = (self.speculative_k + 1 if self.speculative_k
+                       else chunk)
         # Flush BEFORE the chunk if any live tail could overflow.
-        if any(self.slots[i].tail + chunk > self.cache.tail_size
+        if any(self.slots[i].tail + step_tokens > self.cache.tail_size
                for i in live):
             self.cache.flush_tails(
                 [s.seq_id if s else -1 for s in self.slots],
@@ -641,6 +707,10 @@ class Engine:
             temps[i] = self.slots[i].request.temperature
         tables, paged_lens = self.cache.batch_state(
             [s.seq_id if s else -1 for s in self.slots], self.max_pages)
+
+        if self.speculative_k:
+            return self._step_speculative(done, live, tail_pos, temps,
+                                          tables, paged_lens)
 
         t0 = time.perf_counter()
         if chunk == 1:
@@ -687,6 +757,64 @@ class Engine:
                     self.slots[i] = None
                     s = None
         self.stats.decode_tokens += accepted
+        return done
+
+    def _step_speculative(self, done, live, tail_pos, temps, tables,
+                          paged_lens) -> list[Completion]:
+        """One speculative decode step: [next_token, k drafts] per live
+        slot through one multi-token dispatch; accept the longest
+        agreeing prefix plus the model's correction token."""
+        k = self.speculative_k
+        if (temps > 0.0).any():
+            raise ValueError(
+                "speculative decoding verifies with argmax; sampling "
+                "(temperature > 0) requests need speculative_k=0")
+        tokens = np.zeros((self.max_batch, k + 1), np.int32)
+        for i in live:
+            s = self.slots[i]
+            tokens[i, 0] = s.next_token
+            hist = np.concatenate([
+                np.asarray(s.request.prompt, np.int32),
+                np.asarray(s.generated, np.int32)])
+            tokens[i, 1:] = propose_ngram_draft(hist, k)
+
+        t0 = time.perf_counter()
+        out_dev, self.cache.k_tails, self.cache.v_tails = self._spec_fn(
+            self.params, jnp.asarray(tokens),
+            self.cache.k_pools, self.cache.v_pools,
+            self.cache.k_tails, self.cache.v_tails,
+            tables, paged_lens, jnp.asarray(tail_pos),
+            self.cache.k_scale_pools, self.cache.v_scale_pools,
+        )
+        out = np.asarray(out_dev)                    # [B, k+1], one sync
+        self.stats.decode_s += time.perf_counter() - t0
+        self.stats.engine_steps += 1
+
+        accepted_total = 0
+        for i in live:
+            s = self.slots[i]
+            drafts = tokens[i, 1:]
+            o = out[i]
+            a = 0
+            while a < k and o[a] == drafts[a]:
+                a += 1
+            # KV for positions 0..k was written; only 0..a is real.
+            self.stats.spec_proposed += k
+            self.stats.spec_accepted += a
+            s.length += a + 1
+            s.tail += a + 1
+            for tok in o[: a + 1]:
+                if s is None:
+                    break
+                s.next_token = int(tok)
+                s.generated.append(int(tok))
+                accepted_total += 1
+                fin = self._maybe_finish(s, slot_idx=i)
+                if fin is not None:
+                    done.append(fin)
+                    self.slots[i] = None
+                    s = None
+        self.stats.decode_tokens += accepted_total
         return done
 
     def run(self, requests=None) -> list[Completion]:

@@ -190,6 +190,38 @@ class PagedKVCache:
         return n
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("page_size", "dtype_name"))
+def _gather_pages(k_pools, v_pools, k_scales, v_scales, idx, t,
+                  page_size, dtype_name):
+    """All-layer cached-page gather for the prefix-cache prefill buffer
+    (see LayeredPagedKVCache.gather_pages)."""
+    dtype = jnp.dtype(dtype_name)
+    hkv = k_pools[0].shape[0]
+    d = k_pools[0].shape[3]
+    cap = idx.shape[0]
+    out_len = cap * page_size
+    row = jnp.arange(out_len)
+
+    def gather(pool, scales):
+        g = pool[:, idx]                          # [Hkv, cap, ps, D]
+        if scales is not None:
+            sc = scales[:, idx]                   # [Hkv, cap, ps/QB, D]
+            gf = g.astype(jnp.float32).reshape(
+                hkv, cap, page_size // QUANT_BLOCK, QUANT_BLOCK, d)
+            g = gf * sc[:, :, :, None, :]
+        g = g.reshape(hkv, out_len, d)
+        return jnp.where(row[None, :, None] < t, g, 0).astype(dtype)
+
+    ks = jnp.stack([
+        gather(kp, ks_)[None] for kp, ks_ in zip(
+            k_pools, k_scales or [None] * len(k_pools))])
+    vs = jnp.stack([
+        gather(vp, vs_)[None] for vp, vs_ in zip(
+            v_pools, v_scales or [None] * len(v_pools))])
+    return ks, vs
+
+
 @functools.partial(jax.jit, donate_argnums=(0,))
 def _write_layered(pools, page_ids, offsets, new):
     """Scatter prefill tokens into per-layer pools (donated: in-place).
@@ -442,33 +474,17 @@ class LayeredPagedKVCache:
         """Dense [L, 1, Hkv, out_len, D] K/V buffers holding the given
         pages' tokens first (dequantized when the pools are quantized),
         zero past them — the chunked-prefill prefix buffer for a cached
-        prompt."""
-        n = len(pages)
-        idx = jnp.asarray(list(pages), jnp.int32)
-        t = n * self.page_size
-
-        def gather(pool, scales):
-            g = pool[:, idx]                      # [Hkv, n, ps, D]
-            if scales is not None:
-                sc = scales[:, idx]               # [Hkv, n, ps/QB, D]
-                gf = g.astype(jnp.float32).reshape(
-                    self.kv_heads, n, self.page_size // QUANT_BLOCK,
-                    QUANT_BLOCK, self.head_dim)
-                g = (gf * sc[:, :, :, None, :]).astype(self.dtype)
-            g = g.reshape(self.kv_heads, t, self.head_dim)
-            out = jnp.zeros(
-                (self.kv_heads, out_len, self.head_dim), self.dtype)
-            return out.at[:, :t].set(g.astype(self.dtype))
-
-        ks, vs = [], []
-        for li in range(self.n_layers):
-            ksc = (self.k_scale_pools[li]
-                   if self.quant_dtype is not None else None)
-            vsc = (self.v_scale_pools[li]
-                   if self.quant_dtype is not None else None)
-            ks.append(gather(self.k_pools[li], ksc)[None])
-            vs.append(gather(self.v_pools[li], vsc)[None])
-        return jnp.stack(ks), jnp.stack(vs)
+        prompt. One jitted dispatch for all layers; the page-id vector
+        is padded to the bucket's page count so every request of the
+        same bucket reuses one compiled program."""
+        cap = out_len // self.page_size
+        idx = np.zeros(cap, np.int32)
+        idx[: len(pages)] = list(pages)
+        return _gather_pages(
+            self.k_pools, self.v_pools,
+            self.k_scale_pools, self.v_scale_pools,
+            jnp.asarray(idx), np.int32(len(pages) * self.page_size),
+            self.page_size, jnp.dtype(self.dtype).name)
 
     def release_pages(self, pages) -> None:
         self.allocator.cache_release(pages)

@@ -75,6 +75,16 @@ timeout 1400 python -m flash_attention_tpu.cli serve-bench --model 1b \
     --decode-chunk 24 2>&1 \
     | grep -v "Platform 'axon'" | tee benchmarks/serve_bench_1b_monolithic
 
+# Prefix-cache pair: shared 384-token system prompt, cached vs not
+timeout 1400 python -m flash_attention_tpu.cli serve-bench --model 1b \
+    --batch 16 --requests 48 --prompt-len 512 --gen-len 48 \
+    --decode-chunk 24 --shared-prefix 384 --prefix-cache 2>&1 \
+    | grep -v "Platform 'axon'" | tee benchmarks/serve_bench_1b_prefix_cache
+timeout 1400 python -m flash_attention_tpu.cli serve-bench --model 1b \
+    --batch 16 --requests 48 --prompt-len 512 --gen-len 48 \
+    --decode-chunk 24 --shared-prefix 384 2>&1 \
+    | grep -v "Platform 'axon'" | tee benchmarks/serve_bench_1b_prefix_off
+
 # Long-context prefill 32K/128K + int8-KV row (BASELINE config 5, one chip)
 timeout 1200 python scripts/record_long_context.py 2>&1 \
     | grep -v "Platform 'axon'" | tee benchmarks/long_context_prefill

@@ -1,0 +1,131 @@
+"""Speculative decoding: multi-token decode-step parity vs sequential
+single-token steps, draft proposal, and engine transcript equivalence
+(speculation must never change greedy output)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flash_attention_tpu.models.llama import (
+    LlamaConfig,
+    decode_step_paged,
+    decode_step_paged_multi,
+    init_params,
+    prefill_kv,
+)
+from flash_attention_tpu.runtime.kv_cache import LayeredPagedKVCache
+
+CFG = LlamaConfig.tiny(dtype=jnp.float32)
+PAGE = 128
+
+
+@pytest.fixture(scope="module")
+def params():
+    return init_params(CFG, jax.random.PRNGKey(0))
+
+
+def _setup_cache(params, prompts):
+    """Prefill prompts into a paged cache; returns (cache, sids,
+    last_logits)."""
+    cache = LayeredPagedKVCache(
+        n_layers=CFG.n_layers, kv_heads=CFG.n_kv_heads,
+        head_dim=CFG.head_dim, num_pages=16, page_size=PAGE,
+        max_seqs=len(prompts), tail_size=16)
+    sids = []
+    logits_list = []
+    for p in prompts:
+        toks = jnp.asarray([p], jnp.int32)
+        logits, ks, vs = prefill_kv(params, toks, CFG)
+        sids.append(cache.add_sequence(ks[:, 0], vs[:, 0]))
+        logits_list.append(logits[0])
+    return cache, sids, logits_list
+
+
+def test_multi_step_matches_sequential(params, rng):
+    """One T=4 dispatch must produce the same logits as 4 sequential
+    single-token steps feeding the same tokens."""
+    prompts = [list(rng.integers(0, CFG.vocab_size, n)) for n in (9, 23)]
+    feed = np.asarray(
+        rng.integers(0, CFG.vocab_size, (2, 4)), np.int32)
+
+    cache, sids, _ = _setup_cache(params, prompts)
+    tables, lens = cache.batch_state(sids, 2)
+    tail_pos = jnp.zeros(2, jnp.int32)
+    seq_logits = []
+    kt, vt = cache.k_tails, cache.v_tails
+    for i in range(4):
+        lg, kt, vt = decode_step_paged(
+            params, jnp.asarray(feed[:, i]), CFG,
+            cache.k_pools, cache.v_pools, kt, vt,
+            tables, lens, tail_pos + i)
+        seq_logits.append(lg)
+
+    cache2, sids2, _ = _setup_cache(params, prompts)
+    tables2, lens2 = cache2.batch_state(sids2, 2)
+    multi_logits, _, _ = decode_step_paged_multi(
+        params, jnp.asarray(feed), CFG,
+        cache2.k_pools, cache2.v_pools, cache2.k_tails, cache2.v_tails,
+        tables2, lens2, jnp.zeros(2, jnp.int32))
+
+    for i in range(4):
+        np.testing.assert_allclose(
+            np.asarray(multi_logits[:, i]), np.asarray(seq_logits[i]),
+            rtol=2e-4, atol=2e-5, err_msg=f"position {i}")
+
+
+def test_ngram_draft_proposal():
+    from flash_attention_tpu.runtime.engine import propose_ngram_draft
+
+    hist = np.asarray([5, 6, 7, 8, 9, 5, 6], np.int32)
+    # Last bigram (5, 6) matched earlier -> continuation 7, 8, 9.
+    assert list(propose_ngram_draft(hist, 3)) == [7, 8, 9]
+    # Continuation shorter than k: padded with the last token.
+    assert list(propose_ngram_draft(
+        np.asarray([1, 2, 9, 1, 2], np.int32), 4)) == [9, 1, 2, 2]
+    # No match -> repeat last token (harmless low-acceptance draft).
+    assert list(propose_ngram_draft(
+        np.asarray([1, 2, 3, 4], np.int32), 2)) == [4, 4]
+    # History shorter than the bigram.
+    assert list(propose_ngram_draft(
+        np.asarray([3], np.int32), 2)) == [3, 3]
+
+
+@pytest.mark.slow
+def test_engine_speculative_matches_plain_greedy(params, rng):
+    """Speculation is exactness-preserving: transcripts equal the plain
+    engine on random prompts (low acceptance) AND on repetitive prompts
+    (high acceptance), where acceptance must actually engage."""
+    from flash_attention_tpu.runtime.engine import Engine, Request
+
+    def serve(prompts, n_new, **kw):
+        eng = Engine(params, CFG, max_batch=2, num_pages=32,
+                     page_size=PAGE, tail_size=16, **kw)
+        reqs = [Request(prompt=list(p), max_new_tokens=n_new)
+                for p in prompts]
+        by_id = {c.request_id: c for c in eng.run(reqs)}
+        return [by_id[r.request_id].tokens for r in reqs], eng.stats
+
+    rand = [list(rng.integers(0, CFG.vocab_size, 21)),
+            list(rng.integers(0, CFG.vocab_size, 45))]
+    base, _ = serve(rand, 8)
+    got, stats = serve(rand, 8, speculative_k=3)
+    assert got == base
+    assert stats.spec_proposed > 0
+
+    rep = [list(np.tile([3, 1, 4, 1, 5], 8))]     # highly repetitive
+    base_r, _ = serve(rep, 10)
+    got_r, stats_r = serve(rep, 10, speculative_k=3)
+    assert got_r == base_r
+    assert stats_r.spec_accepted > 0, "repetitive prompt must accept"
+
+
+@pytest.mark.slow
+def test_engine_speculative_rejects_sampling(params):
+    from flash_attention_tpu.runtime.engine import Engine, Request
+
+    eng = Engine(params, CFG, max_batch=2, num_pages=32, page_size=PAGE,
+                 tail_size=16, speculative_k=3)
+    with pytest.raises(ValueError):
+        eng.run([Request(prompt=[1, 2, 3], max_new_tokens=4,
+                         temperature=0.7)])
