@@ -141,6 +141,16 @@ def serving_param_shardings(cfg: LlamaConfig, tp_size: int) -> dict:
         "w_up": P(None, "tp"),
         "w_down": P("tp", None),
     }
+    n_experts = getattr(cfg, "n_experts", 0)
+    if n_experts:
+        # MoE layer: experts shard their leading E dim over tp (the
+        # router replicates; moe_mlp's expert_shard_axis path slices
+        # the dispatch cube per rank and psums the combine).
+        if n_experts % tp_size:
+            raise ValueError(
+                f"tp={tp_size} must divide n_experts={n_experts}")
+        layer = {**layer, "router": P(),
+                 "w_gate": P("tp"), "w_up": P("tp"), "w_down": P("tp")}
     return {
         "embed": P(),
         "layers": [layer] * cfg.n_layers,
@@ -246,13 +256,12 @@ def _mlp_block(layer, x, cfg, tp_axis=None):
     local device; ep-sharded serving is a future refinement (training
     shards experts via make_moe_train_step)."""
     if "router" in layer:
-        if tp_axis is not None:
-            raise NotImplementedError(
-                "tensor-parallel serving of MoE layers is not wired; "
-                "run the engine unsharded or shard experts via ep")
+        # Under TP serving the expert stacks are sharded over tp
+        # (serving_param_shardings); tokens replicate and one psum
+        # combines — see moe.moe_mlp expert_shard_axis.
         from flash_attention_tpu.models.moe import moe_mlp
 
-        y, _ = moe_mlp(layer, x, cfg)
+        y, _ = moe_mlp(layer, x, cfg, expert_shard_axis=tp_axis)
         return y
     h = rmsnorm(x, layer["mlp_norm"], cfg.norm_eps)
     gate = _mm("btd,df->btf", h, layer["w_gate"])

@@ -190,15 +190,25 @@ def route_tokens(logits, top_k: int, capacity: int):
     return dispatch, combine, aux
 
 
-def moe_mlp(layer, x, cfg: MoEConfig, ep_axis=None):
-    """Capacity-routed expert MLP. x: [B, T, d] (the LOCAL token shard
-    under ep). Returns (y, aux).
+def moe_mlp(layer, x, cfg: MoEConfig, ep_axis=None,
+            expert_shard_axis=None):
+    """Capacity-routed expert MLP. x: [B, T, d]. Returns (y, aux).
 
-    ep_axis None: every expert computed locally (dense reference).
-    ep_axis set (inside shard_map): expert stacks hold the LOCAL E/ep
-    slice; two tiled all_to_alls swap token slots against expert
-    shards.
+    Three placements:
+      * both axes None — every expert computed locally (dense
+        reference; also the single-device serving path);
+      * ep_axis set (training, inside shard_map): TOKENS are sharded
+        over ep and so are the expert stacks; two tiled all_to_alls
+        swap token slots against expert shards;
+      * expert_shard_axis set (TP serving, inside shard_map): tokens
+        REPLICATED on every rank, expert stacks sharded; each rank
+        routes identically, computes only its local experts' slots,
+        and one psum stitches the combine — the same
+        one-collective-per-block shape as the dense family's Megatron
+        split, so MoE models run under the TP-sharded engine.
     """
+    if ep_axis is not None and expert_shard_axis is not None:
+        raise ValueError("ep_axis and expert_shard_axis are exclusive")
     b, t, d = x.shape
     n = b * t
     h = rmsnorm(x, layer["mlp_norm"], cfg.norm_eps)
@@ -208,6 +218,15 @@ def moe_mlp(layer, x, cfg: MoEConfig, ep_axis=None):
     dispatch, combine, aux = route_tokens(logits, cfg.top_k, capacity)
     dispatch = dispatch.astype(flat.dtype)
     combine = combine.astype(flat.dtype)
+
+    if expert_shard_axis is not None:
+        # Routing above covered ALL experts (replicated math); slice
+        # this rank's expert band out of the dispatch/combine cubes.
+        e_local = layer["w_gate"].shape[0]
+        start = jax.lax.axis_index(expert_shard_axis) * e_local
+        dispatch = jax.lax.dynamic_slice_in_dim(
+            dispatch, start, e_local, 1)
+        combine = jax.lax.dynamic_slice_in_dim(combine, start, e_local, 1)
 
     xs = jnp.einsum("nec,nd->ecd", dispatch, flat)      # [E, C, d]
     if ep_axis is not None:
@@ -222,6 +241,8 @@ def moe_mlp(layer, x, cfg: MoEConfig, ep_axis=None):
         ys = jax.lax.all_to_all(
             ys, ep_axis, split_axis=1, concat_axis=0, tiled=True)
     y = jnp.einsum("nec,ecd->nd", combine, ys)
+    if expert_shard_axis is not None:
+        y = jax.lax.psum(y, expert_shard_axis)
     return y.reshape(b, t, d), aux
 
 

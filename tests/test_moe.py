@@ -219,3 +219,27 @@ def test_moe_engine_matches_contiguous_greedy(params, rng):
             params, jnp.asarray([prompt], jnp.int32), cfg,
             max_new_tokens=5)[0])]
         assert by_id[req.request_id].tokens == want
+
+
+@pytest.mark.slow
+def test_moe_engine_tp_sharded_matches_single_device(params, rng):
+    """MoE serving under the TP mesh (experts sharded, one psum per
+    block): greedy transcripts equal the single-device MoE engine.
+    Identical chunking in both engines makes routing groups — and thus
+    capacity drops — identical, so parity is exact."""
+    from flash_attention_tpu.runtime.engine import Engine, Request
+
+    prompts = [list(rng.integers(0, CFG.vocab_size, 9)),
+               list(rng.integers(0, CFG.vocab_size, 21))]
+
+    def serve(mesh=None):
+        eng = Engine(params, CFG, max_batch=2, num_pages=16,
+                     page_size=128, mesh=mesh, prefill_chunk=16,
+                     decode_chunk=2)
+        out = eng.run([Request(prompt=list(p), max_new_tokens=4)
+                       for p in prompts])
+        return {c.prompt_len: c.tokens for c in out}
+
+    want = serve()
+    got = serve(make_mesh(tp=2, dp=-1))
+    assert got == want, (got, want)
