@@ -88,3 +88,8 @@ timeout 1400 python -m flash_attention_tpu.cli serve-bench --model 1b \
 # Long-context prefill 32K/128K + int8-KV row (BASELINE config 5, one chip)
 timeout 1200 python scripts/record_long_context.py 2>&1 \
     | grep -v "Platform 'axon'" | tee benchmarks/long_context_prefill
+
+# Model-level training throughput (1B, one chip)
+timeout 1400 python -m flash_attention_tpu.cli train-bench --model 1b \
+    --batch 4 --seq 2048 --steps 8 2>&1 \
+    | grep -v "Platform 'axon'" | tee benchmarks/train_bench_1b
