@@ -85,6 +85,16 @@ timeout 1400 python -m flash_attention_tpu.cli serve-bench --model 1b \
     --decode-chunk 24 --shared-prefix 384 2>&1 \
     | grep -v "Platform 'axon'" | tee benchmarks/serve_bench_1b_prefix_off
 
+# Speculative-decode cost pair: k=3 verify vs single-token dispatch
+timeout 1400 python -m flash_attention_tpu.cli serve-bench --model 1b \
+    --batch 16 --requests 32 --prompt-len 256 --gen-len 48 \
+    --spec-k 3 2>&1 \
+    | grep -v "Platform 'axon'" | tee benchmarks/serve_bench_1b_spec
+timeout 1400 python -m flash_attention_tpu.cli serve-bench --model 1b \
+    --batch 16 --requests 32 --prompt-len 256 --gen-len 48 \
+    --decode-chunk 1 2>&1 \
+    | grep -v "Platform 'axon'" | tee benchmarks/serve_bench_1b_chunk1
+
 # Long-context prefill 32K/128K + int8-KV row (BASELINE config 5, one chip)
 timeout 1200 python scripts/record_long_context.py 2>&1 \
     | grep -v "Platform 'axon'" | tee benchmarks/long_context_prefill
