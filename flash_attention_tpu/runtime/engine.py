@@ -231,7 +231,11 @@ class Engine:
         # positions) and accepts the longest agreeing prefix — greedy
         # output is provably unchanged, the win is fewer weight reads
         # and host syncs per token. Rejected tail rows simply stay
-        # stale behind tail_pos.
+        # stale behind tail_pos. MoE caveat: expert routing groups the
+        # k+1 positions together, so under CAPACITY DROPS (which are
+        # batch-composition-dependent) MoE outputs can differ from the
+        # sequential path — run MoE speculation with drop-free capacity
+        # (cf >= top_k * E / n) for strict transcript equality.
         self.speculative_k = max(0, int(speculative_k))
         if self.speculative_k:
             if decode_chunk > 1:

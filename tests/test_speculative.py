@@ -129,3 +129,50 @@ def test_engine_speculative_rejects_sampling(params):
     with pytest.raises(ValueError):
         eng.run([Request(prompt=[1, 2, 3], max_new_tokens=4,
                          temperature=0.7)])
+
+
+@pytest.mark.slow
+def test_speculative_composes_with_prefix_cache_and_quant(params, rng):
+    """Spec decode + automatic prefix caching + int8 KV pools in one
+    engine: transcripts equal the plain engine with the same pools."""
+    from flash_attention_tpu.runtime.engine import Engine, Request
+
+    prompt = list(rng.integers(0, CFG.vocab_size, 2 * PAGE + 15))
+
+    def serve(**kw):
+        eng = Engine(params, CFG, max_batch=2, num_pages=32,
+                     page_size=PAGE, tail_size=16,
+                     kv_quant_dtype=jnp.int8, **kw)
+        outs = []
+        for _ in range(2):   # second run hits the prefix cache
+            outs.append(eng.run(
+                [Request(prompt=list(prompt), max_new_tokens=6)]
+            )[0].tokens)
+        return outs, eng.stats
+
+    base, _ = serve()
+    got, stats = serve(speculative_k=3, prefix_cache=True)
+    assert got == base
+    assert stats.prefix_cached_tokens == 2 * PAGE
+    assert stats.spec_proposed > 0
+
+
+@pytest.mark.slow
+def test_speculative_composes_with_moe(rng):
+    """Spec decode on an MoE model (params-dispatched FFN): transcript
+    parity with the plain MoE engine."""
+    from flash_attention_tpu.models.moe import MoEConfig, init_moe_params
+    from flash_attention_tpu.runtime.engine import Engine, Request
+
+    cfg = MoEConfig.tiny_moe(dtype=jnp.float32)
+    cfg = MoEConfig(**{**cfg.__dict__, "capacity_factor": 8.0})
+    params = init_moe_params(cfg, jax.random.PRNGKey(1))
+    prompt = list(rng.integers(0, cfg.vocab_size, 19))
+
+    def serve(**kw):
+        eng = Engine(params, cfg, max_batch=2, num_pages=16,
+                     page_size=PAGE, tail_size=16, **kw)
+        return eng.run(
+            [Request(prompt=list(prompt), max_new_tokens=6)])[0].tokens
+
+    assert serve(speculative_k=3) == serve()
