@@ -1,0 +1,88 @@
+"""Data loader: shard format, window addressing, deterministic resume,
+prefetch correctness, trainer integration."""
+
+import numpy as np
+import pytest
+
+from flash_attention_tpu.utils.data import (
+    BatchLoader,
+    TokenShardDataset,
+    write_token_shard,
+)
+
+
+@pytest.fixture
+def shards(tmp_path, rng):
+    sizes = [1000, 700, 1300]
+    data = []
+    for i, n in enumerate(sizes):
+        toks = rng.integers(0, 512, n).astype(np.int32)
+        write_token_shard(tmp_path / f"{i:03d}.tok", toks)
+        data.append(toks)
+    return tmp_path, data
+
+
+def test_shard_roundtrip_and_windows(shards):
+    tmp, data = shards
+    ds = TokenShardDataset(tmp, seq_len=64)
+    # 1000//64 + 700//64 + 1300//64 = 15 + 10 + 20
+    assert ds.num_windows == 45
+    np.testing.assert_array_equal(ds.window(0), data[0][:64])
+    np.testing.assert_array_equal(ds.window(14), data[0][14 * 64:15 * 64])
+    np.testing.assert_array_equal(ds.window(15), data[1][:64])   # shard 2
+    np.testing.assert_array_equal(ds.window(44), data[2][19 * 64:20 * 64])
+
+
+def test_bad_shard_rejected(tmp_path):
+    (tmp_path / "x.tok").write_bytes(b"garbage!")
+    with pytest.raises(ValueError):
+        TokenShardDataset(tmp_path, seq_len=8)
+    with pytest.raises(ValueError):
+        TokenShardDataset(tmp_path / "empty", seq_len=8)
+
+
+def test_loader_deterministic_resume(shards):
+    tmp, _ = shards
+    ds = TokenShardDataset(tmp, seq_len=64)
+    a = BatchLoader(ds, batch=4, seed=7)
+    ref = [next(a) for _ in range(10)]
+    a.close()
+    b = BatchLoader(ds, batch=4, seed=7, start_step=5)
+    for i in range(5, 10):
+        np.testing.assert_array_equal(next(b), ref[i])
+    b.close()
+
+
+def test_loader_epoch_coverage(shards):
+    """Within one epoch every window appears exactly once."""
+    tmp, _ = shards
+    ds = TokenShardDataset(tmp, seq_len=64)
+    loader = BatchLoader(ds, batch=5, seed=3)
+    per_epoch = ds.num_windows // 5          # 9 steps
+    seen = []
+    for s in range(per_epoch):
+        seen.append(loader._indices_for(s))
+    seen = np.concatenate(seen)
+    assert len(np.unique(seen)) == len(seen) == 45
+    loader.close()
+
+
+@pytest.mark.slow
+def test_trainer_fit_from_loader(shards, tmp_path):
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from flash_attention_tpu.models.llama import LlamaConfig
+    from flash_attention_tpu.models.trainer import Trainer, TrainerConfig
+
+    tmp, _ = shards
+    cfg = LlamaConfig.tiny(dtype=jnp.float32)
+    ds = TokenShardDataset(tmp, seq_len=33)
+    loader = BatchLoader(ds, batch=2, seed=1)
+    tr = Trainer(cfg, optax.adamw(3e-3),
+                 trainer_cfg=TrainerConfig(log_every=100))
+    losses = tr.fit(iter(loader), steps=4, log=lambda s: None)
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+    loader.close()
