@@ -323,13 +323,16 @@ def cmd_decode_bench(args):
             LlamaConfig, decode_step_paged, init_params,
         )
         cfg = getattr(LlamaConfig, _PRESETS[args.model])(dtype=jnp.bfloat16)
-        if args.weight_quant == "int8":
-            # Direct on-device int8 init: a bf16 8B tree would OOM the
-            # chip before host-side quantization could run.
+        if args.weight_quant:
+            # Direct on-device quantized init: a bf16 8B tree would OOM
+            # the chip before host-side quantization could run.
             from flash_attention_tpu.models.quantized import (
                 init_quantized_params,
             )
-            params = init_quantized_params(cfg, jax.random.PRNGKey(0))
+            wdt = {"int8": jnp.int8,
+                   "fp8": jnp.float8_e4m3fn}[args.weight_quant]
+            params = init_quantized_params(
+                cfg, jax.random.PRNGKey(0), dtype=wdt)
         else:
             params = init_params(cfg, jax.random.PRNGKey(0))
         bm, ctxm = args.model_batch, args.model_context
@@ -719,7 +722,7 @@ def main(argv=None):
     pd.add_argument("--model-context", type=int, default=2048)
     pd.add_argument("--model-steps", type=int, default=32)
     pd.add_argument("--weight-quant", default=None,
-                    choices=[None, "int8"])
+                    choices=[None, "int8", "fp8"])
     pd.add_argument("--model-kv", default=None,
                     choices=[None, "none", "int8", "fp8", "fp8_e5m2"])
     pd.add_argument("--warmup", type=int, default=3)

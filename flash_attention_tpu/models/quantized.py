@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from flash_attention_tpu.ops.quant_matmul import int8_matmul, quantize_weight
+from flash_attention_tpu.ops.quant_matmul import quant_matmul, quantize_weight
 
 # Below this many rows, matmuls are weight-read bound and the int8
 # kernel wins; above it, dequantize once and let the MXU run bf16.
@@ -70,7 +70,7 @@ class QuantizedWeight:
         keep_shape = xt.shape[: len(xkeep)]
         x2 = xt.reshape(int(np.prod(keep_shape) or 1), -1)
         if x2.shape[0] <= _KERNEL_MAX_ROWS:
-            y2 = int8_matmul(x2, self.q, self.scale)
+            y2 = quant_matmul(x2, self.q, self.scale)
         else:
             wdq = (self.q.astype(jnp.float32)
                    * self.scale[None, :]).astype(x.dtype)
@@ -81,12 +81,14 @@ class QuantizedWeight:
         return jnp.transpose(y, [cur.index(c) for c in out])
 
 
-def quantize_tensor(w, n_contract: int) -> QuantizedWeight:
+def quantize_tensor(w, n_contract: int,
+                    dtype=jnp.int8) -> QuantizedWeight:
     """Quantize a weight whose first n_contract dims are contracted."""
     shape = tuple(w.shape)
     k = int(np.prod(shape[:n_contract]))
     f = int(np.prod(shape[n_contract:]))
-    q, scale = quantize_weight(np.asarray(w, np.float32).reshape(k, f))
+    q, scale = quantize_weight(
+        np.asarray(w, np.float32).reshape(k, f), dtype=dtype)
     return QuantizedWeight(q=q, scale=scale, orig_shape=shape,
                            n_contract=n_contract)
 
@@ -99,29 +101,34 @@ _LAYER_SPECS = {
 }
 
 
-def quantize_params(params: dict, *, quantize_lm_head: bool = True) -> dict:
-    """Weight-only int8 quantization of a llama param tree. Norms and
-    the embedding gather stay dense (tiny / not matmuls)."""
+def quantize_params(params: dict, *, quantize_lm_head: bool = True,
+                    dtype=jnp.int8) -> dict:
+    """Weight-only int8/fp8 quantization of a llama param tree. Norms
+    and the embedding gather stay dense (tiny / not matmuls)."""
     out = dict(params)
     out["layers"] = [
         {
-            name: (quantize_tensor(w, _LAYER_SPECS[name])
+            name: (quantize_tensor(w, _LAYER_SPECS[name], dtype=dtype)
                    if name in _LAYER_SPECS else w)
             for name, w in layer.items()
         }
         for layer in params["layers"]
     ]
     if quantize_lm_head:
-        out["lm_head"] = quantize_tensor(params["lm_head"], 1)
+        out["lm_head"] = quantize_tensor(params["lm_head"], 1, dtype=dtype)
     return out
 
 
-def init_quantized_params(cfg, key) -> dict:
-    """Directly initialize an int8-weight param tree ON DEVICE —
+def init_quantized_params(cfg, key, dtype=jnp.int8) -> dict:
+    """Directly initialize a quantized-weight param tree ON DEVICE —
     avoids materializing the bf16 tree (OOM at 8B on one chip) and the
     host->device transfer of a host-side quantization. Statistically
-    matches quantize_params(init_params(...)): int8 values uniform-ish
-    with per-channel scales giving std ~ 1/sqrt(fan_in)."""
+    matches quantize_params(init_params(...)): values with per-channel
+    scales giving dequantized std ~ 1/sqrt(fan_in)."""
+    from flash_attention_tpu.ops.quant import _QMAX
+
+    dtype = jnp.dtype(dtype)
+    qmax = _QMAX[dtype]
     d, hd = cfg.dim, cfg.head_dim
     keys = jax.random.split(key, 4 + cfg.n_layers)
 
@@ -132,11 +139,20 @@ def init_quantized_params(cfg, key) -> dict:
     def qdense(k, shape, fan_in, n_contract):
         kk = int(np.prod(shape[:n_contract]))
         f = int(np.prod(shape[n_contract:]))
-        q = jax.random.randint(k, (kk, f), -127, 128, jnp.int8)
-        # Uniform int8 has std 127/sqrt(3); scale so the dequantized
-        # weight std matches He init's 1/sqrt(fan_in).
-        scale = jnp.full(
-            (f,), np.sqrt(3.0) / (127.0 * np.sqrt(fan_in)), jnp.float32)
+        if dtype == jnp.dtype(jnp.int8):
+            q = jax.random.randint(k, (kk, f), -127, 128, jnp.int8)
+            # Uniform int8 has std 127/sqrt(3); scale so the
+            # dequantized std matches He init's 1/sqrt(fan_in).
+            scale = jnp.full(
+                (f,), np.sqrt(3.0) / (127.0 * np.sqrt(fan_in)),
+                jnp.float32)
+        else:
+            # fp8: encode N(0, (qmax/4)^2) values (4-sigma clip range)
+            # with a scale restoring std 1/sqrt(fan_in).
+            w = jax.random.normal(k, (kk, f), jnp.float32) * (qmax / 4)
+            q = jnp.clip(w, -qmax, qmax).astype(dtype)
+            scale = jnp.full(
+                (f,), 4.0 / (qmax * np.sqrt(fan_in)), jnp.float32)
         return QuantizedWeight(q=q, scale=scale, orig_shape=tuple(shape),
                                n_contract=n_contract)
 

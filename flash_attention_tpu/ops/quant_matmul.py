@@ -35,6 +35,7 @@ from flash_attention_tpu.config import (
     interpret_default,
     round_up,
 )
+from flash_attention_tpu.ops.quant import _QMAX, tile_to_f32
 
 
 def _kernel(x_ref, w_ref, s_ref, o_ref, acc_scr, *, nk):
@@ -45,7 +46,10 @@ def _kernel(x_ref, w_ref, s_ref, o_ref, acc_scr, *, nk):
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
     x = x_ref[...]
-    w = w_ref[...].astype(x.dtype)          # int8 -> compute dtype (VPU)
+    # int8 converts natively; fp8 widens via the exact bit-plant
+    # (ops/quant.py tile_to_f32) — Mosaic's fp8 astype emulation is
+    # ~8x slower.
+    w = tile_to_f32(w_ref[...]).astype(x.dtype)
     acc_scr[...] += lax.dot_general(
         x, w, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
     )
@@ -58,15 +62,16 @@ def _kernel(x_ref, w_ref, s_ref, o_ref, acc_scr, *, nk):
 @functools.partial(
     jax.jit, static_argnames=("block_m", "block_f", "block_k", "interpret"),
 )
-def int8_matmul(x, w_q, w_scale, *, block_m=256, block_f=1024,
-                block_k=1024, interpret=None):
+def quant_matmul(x, w_q, w_scale, *, block_m=256, block_f=1024,
+                 block_k=1024, interpret=None):
     # (1024, 1024) blocks measured 518 GB/s weight read on v5e at the 8B
     # MLP shape — best of the (f, k) grid sweep; W8A8 (int8 MXU) and a
     # transposed-[F,K] layout both measured SLOWER (int8 matmul is not
     # native on v5e; contiguity didn't pay).
     """y[m, f] = x[m, k] @ (w_q[k, f] * w_scale[f]).
 
-    x: bf16/f32; w_q: int8; w_scale: f32 per output channel.
+    x: bf16/f32; w_q: int8 or fp8 (e4m3/e5m2, decoded via the exact
+    bit-plant); w_scale: f32 per output channel.
     """
     m, k = x.shape
     k2, f = w_q.shape
@@ -109,14 +114,25 @@ def int8_matmul(x, w_q, w_scale, *, block_m=256, block_f=1024,
     return out[:m, :f]
 
 
-def quantize_weight(w, *, axis_out=-1):
-    """Per-output-channel int8 quantization of a 2D weight [K, F]
+def quantize_weight(w, *, axis_out=-1, dtype=jnp.int8):
+    """Per-output-channel int8/fp8 quantization of a 2D weight [K, F]
     (axis_out selects the non-contracted axis). Returns (q, scale)."""
-    wf = np.asarray(w, np.float32)
-    if axis_out in (-1, 1):
-        absmax = np.abs(wf).max(axis=0)
-        scale = np.maximum(absmax / 127.0, 1e-12)
-        q = np.clip(np.round(wf / scale[None, :]), -127, 127)
-    else:
+    if axis_out not in (-1, 1):
         raise ValueError("weights must be [contract, out]")
-    return jnp.asarray(q, jnp.int8), jnp.asarray(scale, jnp.float32)
+    dtype = jnp.dtype(dtype)
+    qmax = _QMAX[dtype]
+    wf = np.asarray(w, np.float32)
+    absmax = np.abs(wf).max(axis=0)
+    scale = np.maximum(absmax / qmax, 1e-12)
+    q = wf / scale[None, :]
+    if dtype == jnp.dtype(jnp.int8):
+        q = np.clip(np.round(q), -qmax, qmax)
+        return jnp.asarray(q, jnp.int8), jnp.asarray(scale, jnp.float32)
+    # fp8: clip to the finite max (never emit NaN/inf codes — the
+    # bit-plant decodes those patterns as large finite values).
+    q = jnp.asarray(np.clip(q, -qmax, qmax)).astype(dtype)
+    return q, jnp.asarray(scale, jnp.float32)
+
+
+# Backward-compatible alias (the kernel now also takes fp8 weights).
+int8_matmul = quant_matmul

@@ -105,3 +105,61 @@ def test_quantized_footprint_halves():
     quant_b += qparams["lm_head"].q.size
     # fp32 params -> int8: ~4x smaller on the matmul weights.
     assert quant_b < 0.3 * dense_b
+
+
+# --- FP8 weights (bit-plant dequant in the same kernel) --------------
+
+
+@pytest.mark.parametrize("dtype", [jnp.float8_e4m3fn, jnp.float8_e5m2])
+def test_fp8_matmul_matches_dequant_reference(rng, dtype):
+    from flash_attention_tpu.ops.quant_matmul import quant_matmul
+
+    x = jnp.asarray(rng.normal(0, 1, (8, 256)), jnp.float32)
+    w = rng.normal(0, 0.05, (256, 512)).astype(np.float32)
+    q, scale = quantize_weight(w, dtype=dtype)
+    got = quant_matmul(x, q, scale)
+    want = x @ (np.asarray(q.astype(jnp.float32))
+                * np.asarray(scale)[None, :])
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_fp8_quantize_error_bounded(rng):
+    w = rng.normal(0, 0.05, (256, 128)).astype(np.float32)
+    q, scale = quantize_weight(w, dtype=jnp.float8_e4m3fn)
+    deq = np.asarray(q.astype(jnp.float32)) * np.asarray(scale)[None, :]
+    # e4m3 has a 3-bit mantissa: relative error <= 2^-4 per element
+    # (plus scale granularity).
+    err = np.abs(deq - w) / (np.abs(w) + 1e-6)
+    assert np.quantile(err, 0.99) < 0.07, np.quantile(err, 0.99)
+
+
+@pytest.mark.slow
+def test_fp8_quantized_model_generates(rng):
+    from flash_attention_tpu.models.sampling import generate
+
+    params = init_params(CFG, jax.random.PRNGKey(0))
+    qparams = quantize_params(params, dtype=jnp.float8_e4m3fn)
+    tokens = jnp.asarray(rng.integers(0, CFG.vocab_size, (1, 12)),
+                         jnp.int32)
+    # fp8 weights perturb logits more than int8 (3-bit mantissa); gate
+    # on forward closeness, not transcript equality.
+    lg_q = forward(qparams, tokens, CFG)
+    lg_d = forward(params, tokens, CFG)
+    corr = np.corrcoef(np.asarray(lg_q).ravel(),
+                       np.asarray(lg_d).ravel())[0, 1]
+    assert corr > 0.99, corr
+    out = generate(qparams, tokens, CFG, max_new_tokens=4)
+    assert out.shape == (1, 4)
+
+
+def test_init_quantized_params_fp8_stats():
+    from flash_attention_tpu.models.quantized import init_quantized_params
+
+    p = init_quantized_params(CFG, jax.random.PRNGKey(0),
+                              dtype=jnp.float8_e4m3fn)
+    w = p["layers"][0]["w_gate"]
+    assert w.q.dtype == jnp.float8_e4m3fn
+    deq = np.asarray(w.dequant(jnp.float32))
+    # He init std ~ 1/sqrt(dim).
+    assert abs(deq.std() * np.sqrt(CFG.dim) - 1.0) < 0.1
