@@ -296,3 +296,54 @@ def test_engine_chunked_prefill_interleaves_decode(params, rng):
     for p in shorts:
         assert by_len[len(p)].tokens == ref_greedy(params, p, 24)
     assert by_len[len(p2)].tokens == ref_greedy(params, p2, 4)
+
+
+@pytest.mark.slow
+def test_engine_fuzz_mixed_workload(params, rng):
+    """Randomized mixed workload through every engine feature at once:
+    varied prompt lengths, fork counts, EOS stops, chunked prefill +
+    decode, prefix caching. Every branch-0 completion must equal the
+    contiguous-cache greedy reference; greedy forks must agree with
+    each other. Then the same workload through the SPECULATIVE engine
+    must reproduce the plain engine's transcripts."""
+    # Find a token the model actually emits, to use as a live EOS.
+    probe = ref_greedy(params, [7, 11, 13], 6)
+    eos = probe[2]
+
+    lens = [3, 17, 60, 129, 140]
+    reqs_spec = []
+    for i in range(8):
+        prompt = list(rng.integers(0, CFG.vocab_size, lens[i % len(lens)]))
+        reqs_spec.append(dict(
+            prompt=prompt,
+            max_new_tokens=int(rng.integers(1, 14)),
+            eos_id=eos if i % 3 == 0 else None,
+            n=2 if i % 4 == 2 else 1,
+        ))
+
+    def serve(**kw):
+        eng = Engine(params, CFG, max_batch=3, num_pages=64,
+                     page_size=PAGE, tail_size=16, **kw)
+        reqs = [Request(**r) for r in reqs_spec]
+        id2idx = {rq.request_id: i for i, rq in enumerate(reqs)}
+        return [(id2idx[c.request_id], c) for c in eng.run(reqs)]
+
+    comps = serve(prefill_chunk=32, decode_chunk=3, prefix_cache=True)
+    by_key = {}
+    for idx, c in comps:
+        by_key.setdefault(idx, {})[c.branch] = c
+    assert len(comps) == sum(r["n"] for r in reqs_spec)
+    for (rid, branches), r in zip(sorted(by_key.items()), reqs_spec):
+        want_full = ref_greedy(params, r["prompt"], r["max_new_tokens"])
+        if r["eos_id"] is not None and r["eos_id"] in want_full:
+            want = want_full[: want_full.index(r["eos_id"]) + 1]
+        else:
+            want = want_full
+        for b, c in branches.items():
+            assert c.tokens == want, (rid, b, c.tokens, want)
+
+    # Speculative engine (greedy-only features; chunked decode off).
+    comps_spec = serve(speculative_k=2, prefix_cache=True)
+    got = sorted((i, c.branch, tuple(c.tokens)) for i, c in comps_spec)
+    want = sorted((i, c.branch, tuple(c.tokens)) for i, c in comps)
+    assert got == want
