@@ -329,7 +329,7 @@ def cmd_decode_bench(args):
             from flash_attention_tpu.models.quantized import (
                 init_quantized_params,
             )
-            wdt = {"int8": jnp.int8,
+            wdt = {"int8": jnp.int8, "int4": "int4",
                    "fp8": jnp.float8_e4m3fn}[args.weight_quant]
             params = init_quantized_params(
                 cfg, jax.random.PRNGKey(0), dtype=wdt)
@@ -722,7 +722,7 @@ def main(argv=None):
     pd.add_argument("--model-context", type=int, default=2048)
     pd.add_argument("--model-steps", type=int, default=32)
     pd.add_argument("--weight-quant", default=None,
-                    choices=[None, "int8", "fp8"])
+                    choices=[None, "int8", "int4", "fp8"])
     pd.add_argument("--model-kv", default=None,
                     choices=[None, "none", "int8", "fp8", "fp8_e5m2"])
     pd.add_argument("--warmup", type=int, default=3)

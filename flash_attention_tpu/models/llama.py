@@ -193,9 +193,11 @@ def _mm(spec, x, w):
     """Weight einsum with int8 weight-only dispatch: a QuantizedWeight
     (models/quantized.py) runs the fused-dequant Pallas matmul for
     skinny shapes; dense weights run plain einsum."""
-    from flash_attention_tpu.models.quantized import QuantizedWeight
+    from flash_attention_tpu.models.quantized import (
+        Int4Weight, QuantizedWeight,
+    )
 
-    if isinstance(w, QuantizedWeight):
+    if isinstance(w, (QuantizedWeight, Int4Weight)):
         return w.einsum(spec, x)
     return jnp.einsum(spec, x, w)
 

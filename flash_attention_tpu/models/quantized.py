@@ -20,7 +20,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from flash_attention_tpu.ops.quant_matmul import quant_matmul, quantize_weight
+from flash_attention_tpu.ops.quant_matmul import (
+    INT4_GROUP,
+    int4_matmul,
+    quant_matmul,
+    quantize_weight,
+    quantize_weight_int4,
+)
 
 # Below this many rows, matmuls are weight-read bound and the int8
 # kernel wins; above it, dequantize once and let the MXU run bf16.
@@ -56,29 +62,83 @@ class QuantizedWeight:
         w = self.q.astype(jnp.float32) * self.scale[None, :]
         return w.astype(dtype).reshape(self.orig_shape)
 
-    def einsum(self, spec, x):
-        """Evaluate jnp.einsum(spec, x, self) with fused int8 dequant."""
-        ins, out = spec.split("->")
-        xs, ws = ins.split(",")
-        contract = [c for c in ws if c in xs]
-        wout = [c for c in ws if c not in xs]
-        if list(ws) != contract + wout:
-            raise ValueError(f"contraction dims must lead in {spec!r}")
-        xkeep = [c for c in xs if c not in contract]
-        perm = [xs.index(c) for c in xkeep + contract]
-        xt = jnp.transpose(x, perm)
-        keep_shape = xt.shape[: len(xkeep)]
-        x2 = xt.reshape(int(np.prod(keep_shape) or 1), -1)
+    def _matmul2d(self, x2):
         if x2.shape[0] <= _KERNEL_MAX_ROWS:
-            y2 = quant_matmul(x2, self.q, self.scale)
-        else:
-            wdq = (self.q.astype(jnp.float32)
-                   * self.scale[None, :]).astype(x.dtype)
-            y2 = jnp.dot(x2, wdq)
-        wout_shape = self.orig_shape[self.n_contract:]
-        y = y2.reshape(*keep_shape, *wout_shape)
-        cur = xkeep + wout
-        return jnp.transpose(y, [cur.index(c) for c in out])
+            return quant_matmul(x2, self.q, self.scale)
+        wdq = (self.q.astype(jnp.float32)
+               * self.scale[None, :]).astype(x2.dtype)
+        return jnp.dot(x2, wdq)
+
+    def einsum(self, spec, x):
+        """Evaluate jnp.einsum(spec, x, self) with fused dequant."""
+        return _weight_einsum(self, spec, x)
+
+
+def _weight_einsum(w, spec, x):
+    """Shared einsum plumbing for quantized-weight classes: normalize
+    to a 2D [rows, contract] x [contract, out] matmul and restore the
+    logical layout."""
+    ins, out = spec.split("->")
+    xs, ws = ins.split(",")
+    contract = [c for c in ws if c in xs]
+    wout = [c for c in ws if c not in xs]
+    if list(ws) != contract + wout:
+        raise ValueError(f"contraction dims must lead in {spec!r}")
+    xkeep = [c for c in xs if c not in contract]
+    perm = [xs.index(c) for c in xkeep + contract]
+    xt = jnp.transpose(x, perm)
+    keep_shape = xt.shape[: len(xkeep)]
+    x2 = xt.reshape(int(np.prod(keep_shape) or 1), -1)
+    y2 = w._matmul2d(x2)
+    wout_shape = w.orig_shape[w.n_contract:]
+    y = y2.reshape(*keep_shape, *wout_shape)
+    cur = xkeep + wout
+    return jnp.transpose(y, [cur.index(c) for c in out])
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class Int4Weight:
+    """Packed int4 weight: bytes [K/2, F] (row-pair nibbles) + group
+    -wise per-channel scales [K/INT4_GROUP, F] (ops/quant_matmul.py
+    int4_matmul). Quarter the bf16 footprint; dequant fused in-kernel
+    with group scales applied inside the contraction loop."""
+
+    packed: jax.Array
+    scales: jax.Array
+    orig_shape: tuple
+    n_contract: int
+
+    def tree_flatten(self):
+        return ((self.packed, self.scales),
+                (self.orig_shape, self.n_contract))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], children[1], aux[0], aux[1])
+
+    @property
+    def nbytes(self) -> int:
+        return self.packed.size + self.scales.size * 4
+
+    def dequant(self, dtype=jnp.bfloat16):
+        u = self.packed.view(jnp.uint8).astype(jnp.int32)
+        lo = ((u & 0xF) ^ 8) - 8
+        hi = (((u >> 4) & 0xF) ^ 8) - 8
+        kp2, f = u.shape
+        q = jnp.stack([lo, hi], axis=1).reshape(2 * kp2, f)
+        w = (q.astype(jnp.float32).reshape(-1, INT4_GROUP, f)
+             * self.scales[:, None, :]).reshape(2 * kp2, f)
+        return w.astype(dtype).reshape(self.orig_shape)
+
+    def _matmul2d(self, x2):
+        if x2.shape[0] <= _KERNEL_MAX_ROWS:
+            return int4_matmul(x2, self.packed, self.scales)
+        return jnp.dot(x2, self.dequant(x2.dtype).reshape(
+            x2.shape[1], -1))
+
+    def einsum(self, spec, x):
+        return _weight_einsum(self, spec, x)
 
 
 def quantize_tensor(w, n_contract: int,
@@ -87,8 +147,12 @@ def quantize_tensor(w, n_contract: int,
     shape = tuple(w.shape)
     k = int(np.prod(shape[:n_contract]))
     f = int(np.prod(shape[n_contract:]))
-    q, scale = quantize_weight(
-        np.asarray(w, np.float32).reshape(k, f), dtype=dtype)
+    w2 = np.asarray(w, np.float32).reshape(k, f)
+    if dtype == "int4":
+        packed, scales = quantize_weight_int4(w2)
+        return Int4Weight(packed=packed, scales=scales,
+                          orig_shape=shape, n_contract=n_contract)
+    q, scale = quantize_weight(w2, dtype=dtype)
     return QuantizedWeight(q=q, scale=scale, orig_shape=shape,
                            n_contract=n_contract)
 
@@ -127,8 +191,11 @@ def init_quantized_params(cfg, key, dtype=jnp.int8) -> dict:
     scales giving dequantized std ~ 1/sqrt(fan_in)."""
     from flash_attention_tpu.ops.quant import _QMAX
 
-    dtype = jnp.dtype(dtype)
-    qmax = _QMAX[dtype]
+    if dtype != "int4":
+        dtype = jnp.dtype(dtype)
+        qmax = _QMAX[dtype]
+    else:
+        qmax = 7.0
     d, hd = cfg.dim, cfg.head_dim
     keys = jax.random.split(key, 4 + cfg.n_layers)
 
@@ -139,6 +206,18 @@ def init_quantized_params(cfg, key, dtype=jnp.int8) -> dict:
     def qdense(k, shape, fan_in, n_contract):
         kk = int(np.prod(shape[:n_contract]))
         f = int(np.prod(shape[n_contract:]))
+        if dtype == "int4":
+            # Random packed nibbles; uniform int4 in [-8, 7] has std
+            # ~4.64, so a constant scale restores 1/sqrt(fan_in).
+            packed = jax.random.randint(
+                k, (kk // 2, f), 0, 256, jnp.int32).astype(jnp.uint8
+                                                           ).view(jnp.int8)
+            scales = jnp.full(
+                (kk // INT4_GROUP, f),
+                1.0 / (4.64 * np.sqrt(fan_in)), jnp.float32)
+            return Int4Weight(packed=packed, scales=scales,
+                              orig_shape=tuple(shape),
+                              n_contract=n_contract)
         if dtype == jnp.dtype(jnp.int8):
             q = jax.random.randint(k, (kk, f), -127, 128, jnp.int8)
             # Uniform int8 has std 127/sqrt(3); scale so the

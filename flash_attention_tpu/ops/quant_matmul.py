@@ -136,3 +136,140 @@ def quantize_weight(w, *, axis_out=-1, dtype=jnp.int8):
 
 # Backward-compatible alias (the kernel now also takes fp8 weights).
 int8_matmul = quant_matmul
+
+
+# ---------------------------------------------------------------------------
+# INT4 (packed) weights
+# ---------------------------------------------------------------------------
+
+INT4_GROUP = 128   # original K rows per scale group
+
+
+def _int4_kernel(xe_ref, xo_ref, w_ref, s_ref, o_ref, acc_scr, *, nk,
+                 rows_per_scale):
+    """Packed-int4 matmul block. Byte j of w_ref packs ORIGINAL rows
+    (2j, 2j+1) as (lo, hi) nibbles; the caller de-interleaves x into
+    even/odd column planes, so the block computes
+        acc += xe @ dequant(lo) + xo @ dequant(hi)
+    with no in-kernel row interleave (two plain MXU dots). Scales vary
+    along the contraction (group-wise), so they multiply W inside the
+    loop — the same reshape-broadcast the KV dequant uses."""
+    kk = pl.program_id(2)
+
+    @pl.when(kk == 0)
+    def _init():
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    xe = xe_ref[...]
+    xo = xo_ref[...]
+    u = w_ref[...].astype(jnp.int32) & 0xFF
+    lo = (((u & 0xF) ^ 8) - 8).astype(jnp.float32)
+    hi = ((((u >> 4) & 0xF) ^ 8) - 8).astype(jnp.float32)
+    bkp, bf = lo.shape
+    ns = bkp // rows_per_scale
+    sc = s_ref[...]                                   # [ns, bf]
+    lo = (lo.reshape(ns, rows_per_scale, bf)
+          * sc[:, None, :]).reshape(bkp, bf).astype(xe.dtype)
+    hi = (hi.reshape(ns, rows_per_scale, bf)
+          * sc[:, None, :]).reshape(bkp, bf).astype(xe.dtype)
+    acc_scr[...] += lax.dot_general(
+        xe, lo, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    acc_scr[...] += lax.dot_general(
+        xo, hi, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(kk == nk - 1)
+    def _store():
+        o_ref[...] = acc_scr[...].astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block_m", "block_f", "block_k", "interpret"),
+)
+def int4_matmul(x, w_packed, w_scales, *, block_m=256, block_f=1024,
+                block_k=1024, interpret=None):
+    """y[m, f] = x[m, k] @ dequant(w_packed, w_scales).
+
+    x: bf16/f32 [M, K]; w_packed: int8 [K/2, F] (byte j = rows 2j/2j+1
+    as lo/hi nibbles, values in [-7, 7]); w_scales: f32
+    [K/INT4_GROUP, F] group-wise per-channel scales. block_k counts
+    PACKED rows. K must be a multiple of INT4_GROUP.
+
+    Measured (v5e, 8B MLP shape 4096x14336, m=16, device-pure loop):
+    62 us vs int8's 95 us — 1.52x faster per matmul on half the bytes
+    (501 GB/s effective on the packed read; the unpack costs some VPU
+    density, bk=1024 is the sweep optimum)."""
+    m, k = x.shape
+    kp2, f = w_packed.shape
+    if k != 2 * kp2 or k % INT4_GROUP:
+        raise ValueError(f"shape mismatch: x{x.shape} packed"
+                         f"{w_packed.shape} (K % {INT4_GROUP} != 0?)")
+    if w_scales.shape != (k // INT4_GROUP, f):
+        raise ValueError(f"scales {w_scales.shape} != "
+                         f"({k // INT4_GROUP}, {f})")
+    if interpret is None:
+        interpret = interpret_default()
+    xe = x[:, 0::2]
+    xo = x[:, 1::2]
+    rows_per_scale = INT4_GROUP // 2                  # packed rows/group
+    sub = SUBLANES.get(jnp.dtype(x.dtype).itemsize, 8)
+    bm = min(block_m, round_up(m, sub))
+    bf = min(block_f, round_up(f, LANES))
+    bk = max(min(block_k, round_up(kp2, rows_per_scale)), rows_per_scale)
+    mp = round_up(m, bm)
+    fp = round_up(f, bf)
+    kpp = round_up(kp2, bk)
+    if mp != m:
+        xe = jnp.pad(xe, ((0, mp - m), (0, 0)))
+        xo = jnp.pad(xo, ((0, mp - m), (0, 0)))
+    if kpp != kp2:
+        xe = jnp.pad(xe, ((0, 0), (0, kpp - kp2)))
+        xo = jnp.pad(xo, ((0, 0), (0, kpp - kp2)))
+        w_packed = jnp.pad(w_packed, ((0, kpp - kp2), (0, 0)))
+        w_scales = jnp.pad(
+            w_scales,
+            ((0, (kpp - kp2) // rows_per_scale), (0, 0)))
+    if fp != f:
+        w_packed = jnp.pad(w_packed, ((0, 0), (0, fp - f)))
+        w_scales = jnp.pad(w_scales, ((0, 0), (0, fp - f)))
+    nk = kpp // bk
+    ns = bk // rows_per_scale
+
+    out = pl.pallas_call(
+        functools.partial(_int4_kernel, nk=nk,
+                          rows_per_scale=rows_per_scale),
+        grid=(mp // bm, fp // bf, nk),
+        in_specs=[
+            pl.BlockSpec((bm, bk), lambda i, j, kk: (i, kk)),
+            pl.BlockSpec((bm, bk), lambda i, j, kk: (i, kk)),
+            pl.BlockSpec((bk, bf), lambda i, j, kk: (kk, j)),
+            pl.BlockSpec((ns, bf), lambda i, j, kk: (kk, j)),
+        ],
+        out_specs=pl.BlockSpec((bm, bf), lambda i, j, kk: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((mp, fp), x.dtype),
+        scratch_shapes=[pltpu.VMEM((bm, bf), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(xe, xo, w_packed, w_scales)
+    return out[:m, :f]
+
+
+def quantize_weight_int4(w):
+    """Group-wise (INT4_GROUP x channel) symmetric int4 RTN of a 2D
+    weight [K, F]. Returns (packed int8 [K/2, F], scales f32
+    [K/INT4_GROUP, F]); nibble range [-7, 7]."""
+    wf = np.asarray(w, np.float32)
+    k, f = wf.shape
+    if k % INT4_GROUP:
+        raise ValueError(f"K={k} must be a multiple of {INT4_GROUP}")
+    g = wf.reshape(k // INT4_GROUP, INT4_GROUP, f)
+    scale = np.maximum(np.abs(g).max(axis=1) / 7.0, 1e-12)  # [K/G, F]
+    q = np.clip(np.round(g / scale[:, None, :]), -7, 7).astype(np.int32)
+    q = q.reshape(k, f)
+    lo = q[0::2] & 0xF
+    hi = q[1::2] & 0xF
+    packed = ((hi << 4) | lo).astype(np.uint8).view(np.int8)
+    return jnp.asarray(packed), jnp.asarray(scale, jnp.float32)

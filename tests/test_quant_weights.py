@@ -163,3 +163,71 @@ def test_init_quantized_params_fp8_stats():
     deq = np.asarray(w.dequant(jnp.float32))
     # He init std ~ 1/sqrt(dim).
     assert abs(deq.std() * np.sqrt(CFG.dim) - 1.0) < 0.1
+
+
+# --- INT4 packed weights ---------------------------------------------
+
+
+def test_int4_matmul_matches_dequant_reference(rng):
+    from flash_attention_tpu.ops.quant_matmul import (
+        int4_matmul, quantize_weight_int4,
+    )
+    from flash_attention_tpu.models.quantized import Int4Weight
+
+    w = rng.normal(0, 0.05, (512, 384)).astype(np.float32)
+    packed, scales = quantize_weight_int4(w)
+    qw = Int4Weight(packed=packed, scales=scales, orig_shape=(512, 384),
+                    n_contract=1)
+    deq = np.asarray(qw.dequant(jnp.float32))
+    # Absolute error bounded by half a quantization step per group.
+    step = np.asarray(scales).repeat(128, axis=0)
+    assert (np.abs(deq - w) <= 0.5 * step + 1e-6).all()
+    x = jnp.asarray(rng.normal(0, 1, (8, 512)), jnp.float32)
+    got = int4_matmul(x, packed, scales)
+    want = np.asarray(x) @ deq
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4,
+                               atol=2e-4)
+    # einsum plumbing (wide path dequant + kernel path agree).
+    got2 = qw.einsum("bd,df->bf", x)
+    np.testing.assert_allclose(np.asarray(got2), want, rtol=2e-4,
+                               atol=2e-4)
+
+
+@pytest.mark.slow
+def test_int4_quantized_model_forward_close(rng):
+    """Int4 model forward stays correlated with the dense model; the
+    quarter-size footprint is the point."""
+    from flash_attention_tpu.models.quantized import (
+        params_nbytes, quantize_params,
+    )
+
+    params = init_params(CFG, jax.random.PRNGKey(0))
+    q8 = quantize_params(params)
+    q4 = quantize_params(params, dtype="int4")
+    # Tiny config: K=256 -> the [K/128, F] fp32 group scales are a
+    # visible overhead (ratio ~0.66); at 8B shapes (K>=4096) the ratio
+    # is ~0.53.
+    assert params_nbytes(q4) < 0.7 * params_nbytes(q8)
+    tokens = jnp.asarray(rng.integers(0, CFG.vocab_size, (2, 24)),
+                         jnp.int32)
+    lg4 = forward(q4, tokens, CFG)
+    lgd = forward(params, tokens, CFG)
+    corr = np.corrcoef(np.asarray(lg4).ravel(),
+                       np.asarray(lgd).ravel())[0, 1]
+    # 4-bit RTN on a RANDOM tiny model is the worst case (no weight
+    # redundancy, every channel equally loaded); trained models
+    # quantize far better. This gates the mechanism, not quality —
+    # the matmul parity test above is exact.
+    assert corr > 0.9, corr
+
+
+def test_init_quantized_params_int4_stats():
+    from flash_attention_tpu.models.quantized import (
+        Int4Weight, init_quantized_params,
+    )
+
+    p = init_quantized_params(CFG, jax.random.PRNGKey(0), dtype="int4")
+    w = p["layers"][0]["w_gate"]
+    assert isinstance(w, Int4Weight)
+    deq = np.asarray(w.dequant(jnp.float32))
+    assert abs(deq.std() * np.sqrt(CFG.dim) - 1.0) < 0.15
