@@ -56,6 +56,15 @@ timeout 1800 python -m flash_attention_tpu.cli decode-bench --model 8b \
     --model-context 4096 --model-steps 32 --iters 6 2>&1 \
     | grep -v "Platform 'axon'" | tee benchmarks/bench_8b_full_fp8
 
+timeout 1800 python -m flash_attention_tpu.cli decode-bench --model 8b \
+    --weight-quant int4 --model-kv fp8 --model-batch 32 \
+    --model-context 4096 --model-steps 32 --iters 6 2>&1 \
+    | grep -v "Platform 'axon'" | tee benchmarks/bench_8b_int4_b32
+timeout 1800 python -m flash_attention_tpu.cli decode-bench --model 8b \
+    --weight-quant int4 --model-kv int8 --model-batch 32 \
+    --model-context 4096 --model-steps 32 --iters 6 2>&1 \
+    | grep -v "Platform 'axon'" | tee benchmarks/bench_8b_int4_int8_b32
+
 # Sequence sweep 2K->128K causal GQA (driver metric: TFLOP/s at seq 2K-128K)
 timeout 1500 python -m flash_attention_tpu.cli perf \
     --configs 1,32,2048,128 1,32,8192,128 1,32,32768,128 1,32,131072,128 \
