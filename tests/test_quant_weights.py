@@ -231,3 +231,22 @@ def test_init_quantized_params_int4_stats():
     assert isinstance(w, Int4Weight)
     deq = np.asarray(w.dequant(jnp.float32))
     assert abs(deq.std() * np.sqrt(CFG.dim) - 1.0) < 0.15
+
+
+@pytest.mark.slow
+def test_int4_params_through_engine(rng):
+    """Int4-weight params serve through the continuous-batching engine
+    (params-dispatched matmuls); transcripts equal contiguous generate
+    on the same quantized params."""
+    from flash_attention_tpu.models.quantized import quantize_params
+    from flash_attention_tpu.models.sampling import generate
+    from flash_attention_tpu.runtime.engine import Engine, Request
+
+    params = init_params(CFG, jax.random.PRNGKey(0))
+    q4 = quantize_params(params, dtype="int4")
+    prompt = list(rng.integers(0, CFG.vocab_size, 17))
+    eng = Engine(q4, CFG, max_batch=2, num_pages=16, page_size=128)
+    got = eng.run([Request(prompt=list(prompt), max_new_tokens=5)])[0]
+    want = [int(x) for x in np.asarray(generate(
+        q4, jnp.asarray([prompt], jnp.int32), CFG, max_new_tokens=5)[0])]
+    assert got.tokens == want
