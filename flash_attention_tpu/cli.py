@@ -548,7 +548,16 @@ def cmd_serve_bench(args):
     )
 
     cfg = getattr(LlamaConfig, _PRESETS[args.model])(dtype=jnp.bfloat16)
-    params = init_params(cfg, jax.random.PRNGKey(0))
+    if args.weight_quant:
+        from flash_attention_tpu.models.quantized import (
+            init_quantized_params,
+        )
+        wdt = {"int8": jnp.int8, "int4": "int4",
+               "fp8": jnp.float8_e4m3fn}[args.weight_quant]
+        params = init_quantized_params(cfg, jax.random.PRNGKey(0),
+                                       dtype=wdt)
+    else:
+        params = init_params(cfg, jax.random.PRNGKey(0))
     rng = np.random.default_rng(42)
     kvq = {"int8": jnp.int8, "fp8": jnp.float8_e4m3fn,
            None: None, "none": None}[args.kv_quant]
@@ -754,6 +763,8 @@ def main(argv=None):
     ps_.add_argument("--page-size", type=int, default=256)
     ps_.add_argument("--kv-quant", default=None,
                      choices=[None, "none", "int8", "fp8"])
+    ps_.add_argument("--weight-quant", default=None,
+                     choices=[None, "int8", "int4", "fp8"])
     ps_.add_argument("--decode-chunk", type=int, default=8)
     ps_.add_argument("--prefill-chunk", type=int, default=None,
                      help="interleave prompt prefill with decode in "

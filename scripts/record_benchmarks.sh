@@ -109,6 +109,13 @@ timeout 1400 python -m flash_attention_tpu.cli serve-bench --model 1b \
     --decode-chunk 1 2>&1 \
     | grep -v "Platform 'axon'" | tee benchmarks/serve_bench_1b_chunk1
 
+# 8B end-to-end ENGINE serving on one chip (int4 weights + int8 pools)
+timeout 1800 python -m flash_attention_tpu.cli serve-bench --model 8b \
+    --weight-quant int4 --kv-quant int8 --batch 16 --requests 32 \
+    --prompt-len 512 --gen-len 32 --num-pages 280 --page-size 256 \
+    --decode-chunk 8 2>&1 \
+    | grep -v "Platform 'axon'" | tee benchmarks/serve_bench_8b_int4
+
 # Long-context prefill 32K/128K + int8-KV row (BASELINE config 5, one chip)
 timeout 1200 python scripts/record_long_context.py 2>&1 \
     | grep -v "Platform 'axon'" | tee benchmarks/long_context_prefill
