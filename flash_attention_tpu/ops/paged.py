@@ -35,7 +35,7 @@ DEFAULT_PAGE_SIZE = 256
 
 
 def _paged_kernel(lengths_ref, pt_ref, q_ref, *rest, scale, page_size,
-                  max_pages, quantized, save_stats):
+                  max_pages, quantized, save_stats, window=None):
     idx = 0
     k_ref, v_ref = rest[0], rest[1]
     idx = 2
@@ -57,7 +57,14 @@ def _paged_kernel(lengths_ref, pt_ref, q_ref, *rest, scale, page_size,
         l_scr[...] = jnp.zeros_like(l_scr)
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
-    @pl.when(p * page_size < length)
+    in_range = p * page_size < length
+    if window is not None:
+        # The query sits at position `length` (+ tail); pages entirely
+        # older than the window skip compute AND DMA (index-map clamp).
+        in_range = jnp.logical_and(
+            in_range, (p + 1) * page_size > length - window)
+
+    @pl.when(in_range)
     def _compute():
         q = q_ref[0]                                 # [Hkv, G, D]
         if quantized:
@@ -86,6 +93,8 @@ def _paged_kernel(lengths_ref, pt_ref, q_ref, *rest, scale, page_size,
         )                                            # [Hkv, G, ps]
         col = lax.broadcasted_iota(jnp.int32, s.shape, 2) + p * page_size
         s = jnp.where(col >= length, MASK_VALUE, s)
+        if window is not None:
+            s = jnp.where(col < length - window, MASK_VALUE, s)
 
         c = scale * LOG2E
         m_prev = m_scr[...]                          # [Hkv, G, LANES]
@@ -118,11 +127,12 @@ def _paged_kernel(lengths_ref, pt_ref, q_ref, *rest, scale, page_size,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("scale", "interpret", "return_lse"),
+    jax.jit, static_argnames=("scale", "interpret", "return_lse",
+                              "window"),
 )
 def paged_flash_decode(q, k_pool, v_pool, page_table, lengths, *,
                        k_scales=None, v_scales=None, scale=None,
-                       interpret=None, return_lse=False):
+                       window=None, interpret=None, return_lse=False):
     """Decode attention over paged KV pools.
 
     Args:
@@ -134,6 +144,14 @@ def paged_flash_decode(q, k_pool, v_pool, page_table, lengths, *,
       lengths: [B] int32 — live token count per sequence.
       k_scales, v_scales: [Hkv, num_pages, page_size/QUANT_BLOCK, D] f32
         for quantized pools.
+      window: sliding-window size relative to the NEXT position
+        (`length`): only cached positions > length - window are
+        visible (Mistral/Gemma local attention). Pages entirely older
+        skip compute and DMA, so long-context decode reads O(window)
+        bytes instead of O(length). NOTE: with multiple folded query
+        positions (the speculative multi-token step) the bound is
+        per-sequence, not per-query — callers restrict window to
+        single-position decode.
       return_lse: also return the fp32 log-sum-exp [B, Hq] so callers
         can LSE-merge this partial with attention over other segments
         (the hot-tail decode path in models/llama.py).
@@ -152,6 +170,8 @@ def paged_flash_decode(q, k_pool, v_pool, page_table, lengths, *,
         raise ValueError(f"page_size must be a multiple of {QUANT_BLOCK}")
     if scale is None:
         scale = float(1.0 / np.sqrt(d))
+    if window is not None and window < 1:
+        raise ValueError("window must be >= 1")
     if interpret is None:
         interpret = interpret_default()
     max_pages = page_table.shape[1]
@@ -164,8 +184,16 @@ def paged_flash_decode(q, k_pool, v_pool, page_table, lengths, *,
         return (b, 0, 0, 0)
 
     def pool_index(b, p, lens, pt):
-        # Out-of-range steps re-DMA the first live page (cheap, masked).
-        p_live = lax.select(p * page_size < lens[b], p, 0)
+        # Out-of-range steps re-DMA a live page (cheap, masked); with a
+        # window the oldest visible page is the redirect target so
+        # below-window pages never touch HBM.
+        p_lo = 0
+        run = p * page_size < lens[b]
+        if window is not None:
+            p_lo = jnp.maximum(lens[b] - window, 0) // page_size
+            run = jnp.logical_and(
+                run, (p + 1) * page_size > lens[b] - window)
+        p_live = lax.select(run, p, p_lo)
         return (0, pt[b, p_live], 0, 0)
 
     in_specs = [
@@ -192,7 +220,7 @@ def paged_flash_decode(q, k_pool, v_pool, page_table, lengths, *,
         functools.partial(
             _paged_kernel, scale=scale, page_size=page_size,
             max_pages=max_pages, quantized=quantized,
-            save_stats=return_lse,
+            save_stats=return_lse, window=window,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
@@ -248,7 +276,8 @@ def validate_paged_inputs(k_pool, page_table, lengths, *, page_size=None):
 
 
 def paged_decode_reference(q, k_pool, v_pool, page_table, lengths, *,
-                           k_scales=None, v_scales=None, scale=None):
+                           k_scales=None, v_scales=None, scale=None,
+                           window=None):
     """Exact reference: gather pages into contiguous caches, then run the
     masked softmax in fp32."""
     from flash_attention_tpu.ops.decode import decode_reference
@@ -274,4 +303,5 @@ def paged_decode_reference(q, k_pool, v_pool, page_table, lengths, *,
 
     k = gather(k_pool, k_scales)
     v = gather(v_pool, v_scales)
-    return decode_reference(q, k, v, lengths, scale=scale)
+    return decode_reference(q, k, v, lengths, scale=scale,
+                            window=window)

@@ -214,3 +214,43 @@ def test_validate_paged_inputs_checkify(rng):
     bad_len = jnp.asarray([100, 2 * ps + 1], jnp.int32)
     with pytest.raises(Exception, match="exceed page-table capacity"):
         run(good_tbl, bad_len).throw()
+
+
+def test_paged_window_matches_reference(rng):
+    """Sliding-window paged decode: only the last `window` positions
+    visible; below-window pages skip (and their DMA redirects)."""
+    q, kp, vp, table, lengths = _random_paged_setup(
+        rng, 3, 4, 2, 64, 128, [700, 260, 64], num_pages=64)
+    for w in (256, 100, 1000):
+        out = paged_flash_decode(q, kp, vp, table, lengths, window=w)
+        ref = paged_decode_reference(q, kp, vp, table, lengths, window=w)
+        assert verify(out, ref).passed, f"window={w}"
+    # Window larger than every length == full attention.
+    full = paged_flash_decode(q, kp, vp, table, lengths)
+    win = paged_flash_decode(q, kp, vp, table, lengths, window=4096)
+    np.testing.assert_allclose(np.asarray(win), np.asarray(full),
+                               atol=1e-6)
+
+
+def test_paged_window_quantized(rng):
+    from flash_attention_tpu.ops.quant import QUANT_BLOCK
+
+    hkv, d, ps = 2, 64, 128
+    q, kp, vp, table, lengths = _random_paged_setup(
+        rng, 2, 4, hkv, d, ps, [512, 300], num_pages=32)
+    qmax = 127.0
+    def quant(pool):
+        xf = pool.astype(jnp.float32).reshape(
+            hkv, 32, ps // QUANT_BLOCK, QUANT_BLOCK, d)
+        absmax = jnp.max(jnp.abs(xf), axis=3, keepdims=True)
+        sc = jnp.maximum(absmax / qmax, 1e-8)
+        qv = jnp.clip(jnp.round(xf / sc), -qmax, qmax)
+        return (qv.astype(jnp.int8).reshape(hkv, 32, ps, d),
+                sc[..., 0, :])
+    kq, ks = quant(kp)
+    vq, vs = quant(vp)
+    out = paged_flash_decode(q, kq, vq, table, lengths,
+                             k_scales=ks, v_scales=vs, window=200)
+    ref = paged_decode_reference(q, kq, vq, table, lengths,
+                                 k_scales=ks, v_scales=vs, window=200)
+    assert verify(out, ref).passed
