@@ -347,3 +347,16 @@ def test_engine_fuzz_mixed_workload(params, rng):
     got = sorted((i, c.branch, tuple(c.tokens)) for i, c in comps_spec)
     want = sorted((i, c.branch, tuple(c.tokens)) for i, c in comps)
     assert got == want
+
+
+@pytest.mark.slow
+def test_engine_non_pow2_prefill_chunk(params, rng):
+    """Regression: a prefill_chunk that doesn't divide the bucket used
+    to overflow the KV-buffer write (dynamic_update_slice clamps the
+    start and silently corrupts earlier KV). Chunk sizes are now
+    snapped to divide the suffix span."""
+    prompt = list(rng.integers(0, CFG.vocab_size, 300))
+    eng = make_engine(params, prefill_chunk=100, decode_chunk=2,
+                      num_pages=32)
+    got = eng.run([Request(prompt=list(prompt), max_new_tokens=5)])[0]
+    assert got.tokens == ref_greedy(params, prompt, 5)
