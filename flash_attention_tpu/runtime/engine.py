@@ -62,6 +62,7 @@ class Request:
     prompt: Any                       # [T] int array-like of token ids
     max_new_tokens: int = 32
     temperature: float = 0.0          # 0 = greedy
+    top_p: float = 0.0                # nucleus mass (0/1 = off)
     eos_id: int | None = None
     n: int = 1                        # parallel completions: ONE prefill,
                                       # n-1 allocator forks (pages shared,
@@ -292,7 +293,7 @@ class Engine:
 
         def _decode_chunk(params, token, k_pages, v_pages, k_tails,
                           v_tails, tables, paged_lens, tail_pos,
-                          k_scales, v_scales, temps, key):
+                          k_scales, v_scales, temps, top_ps, key):
             """decode_chunk steps fused in one program: the sampled
             token feeds the next step on-device; ONE host sync per
             chunk instead of per token (the tunnel round-trip otherwise
@@ -304,10 +305,15 @@ class Engine:
                     tables, paged_lens, tail_pos + i,
                     k_scales=k_scales, v_scales=v_scales,
                     tp_axis=tp_axis)
+                from flash_attention_tpu.models.sampling import (
+                    apply_top_p,
+                )
+
                 greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                scaled = logits / jnp.maximum(temps, 1e-6)[:, None]
+                scaled = apply_top_p(scaled, top_ps)
                 cat = jax.random.categorical(
-                    jax.random.fold_in(key, i),
-                    logits / jnp.maximum(temps, 1e-6)[:, None], axis=-1
+                    jax.random.fold_in(key, i), scaled, axis=-1
                 ).astype(jnp.int32)
                 nxt = jnp.where(temps <= 0.0, greedy, cat)
                 return (nxt, kt, vt), nxt
@@ -351,7 +357,7 @@ class Engine:
                 _decode_chunk,
                 in_specs=(pspecs, rep, pool_spec, pool_spec, tail_spec,
                           tail_spec, rep, rep, rep, scale_spec,
-                          scale_spec, rep, rep),
+                          scale_spec, rep, rep, rep),
                 out_specs=(rep, tail_spec, tail_spec))
             _spec = shmap(
                 _spec,
@@ -539,7 +545,8 @@ class Engine:
             self.stats.ttft_s.append(ttft)
 
         for branch, (slot_idx, bsid) in enumerate(zip(free_slots, sids)):
-            first = self._sample_one(logits[0], req.temperature)
+            first = self._sample_one(logits[0], req.temperature,
+                                     req.top_p)
             slot = _Slot(request=req, seq_id=bsid, prompt_len=t,
                          length=t, tail=0, next_token=first,
                          generated=[first], branch=branch,
@@ -644,19 +651,24 @@ class Engine:
         self._key, sub = jax.random.split(self._key)
         return sub
 
-    def _sample_one(self, logits, temperature: float) -> int:
-        if temperature <= 0.0:
-            return int(jnp.argmax(logits))
-        return int(jax.random.categorical(
-            self._next_key(), logits / temperature))
+    def _sample_one(self, logits, temperature: float,
+                    top_p: float = 0.0) -> int:
+        from flash_attention_tpu.models.sampling import sample
 
-    def _sample_batch(self, logits, temps: np.ndarray) -> np.ndarray:
-        """Per-slot temperature: greedy where temp<=0, categorical else."""
+        return int(sample(logits[None], self._next_key(),
+                          temperature=temperature, top_p=top_p)[0])
+
+    def _sample_batch(self, logits, temps: np.ndarray,
+                      top_ps: np.ndarray) -> np.ndarray:
+        """Per-slot temperature + nucleus: greedy where temp<=0."""
+        from flash_attention_tpu.models.sampling import apply_top_p
+
         greedy = jnp.argmax(logits, axis=-1)
         if (temps <= 0.0).all():
             return np.asarray(greedy, np.int32)
         t = jnp.asarray(np.maximum(temps, 1e-6))[:, None]
-        cat = jax.random.categorical(self._next_key(), logits / t, axis=-1)
+        scaled = apply_top_p(logits / t, jnp.asarray(top_ps))
+        cat = jax.random.categorical(self._next_key(), scaled, axis=-1)
         return np.asarray(
             jnp.where(jnp.asarray(temps) <= 0.0, greedy, cat), np.int32)
 
@@ -705,10 +717,12 @@ class Engine:
         tokens = np.zeros(self.max_batch, np.int32)
         tail_pos = np.zeros(self.max_batch, np.int32)
         temps = np.zeros(self.max_batch, np.float32)
+        top_ps = np.zeros(self.max_batch, np.float32)
         for i in live:
             tokens[i] = self.slots[i].next_token
             tail_pos[i] = self.slots[i].tail
             temps[i] = self.slots[i].request.temperature
+            top_ps[i] = self.slots[i].request.top_p
         tables, paged_lens = self.cache.batch_state(
             [s.seq_id if s else -1 for s in self.slots], self.max_pages)
 
@@ -726,7 +740,7 @@ class Engine:
                     tables, paged_lens, jnp.asarray(tail_pos),
                     self.cache.k_scale_pools, self.cache.v_scale_pools,
                 )
-            toks = self._sample_batch(logits, temps)[None, :]
+            toks = self._sample_batch(logits, temps, top_ps)[None, :]
         else:
             toks_dev, self.cache.k_tails, self.cache.v_tails = \
                 self._decode_chunk_fn(
@@ -735,7 +749,8 @@ class Engine:
                     self.cache.k_tails, self.cache.v_tails,
                     tables, paged_lens, jnp.asarray(tail_pos),
                     self.cache.k_scale_pools, self.cache.v_scale_pools,
-                    jnp.asarray(temps), self._next_key(),
+                    jnp.asarray(temps), jnp.asarray(top_ps),
+                    self._next_key(),
                 )
             toks = np.asarray(toks_dev)              # [chunk, B], one sync
         self.stats.decode_s += time.perf_counter() - t0

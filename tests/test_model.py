@@ -131,3 +131,24 @@ def test_sharded_train_step_on_mesh(tokens):
     # Params keep their shardings through the update (trailing Nones are
     # normalized away by jax, so compare the leading axes).
     assert tuple(p2["layers"][0]["wq"].sharding.spec)[:2] == ("fsdp", "tp")
+
+
+def test_sample_top_p(rng):
+    from flash_attention_tpu.models.sampling import sample
+
+    # A distribution where the top-2 tokens carry ~88% of the mass:
+    # nucleus p=0.5 must keep only the argmax-adjacent head.
+    base = np.full((4, 50), -10.0, np.float32)
+    base[:, 3] = 3.0
+    base[:, 7] = 2.0
+    base[:, 11] = 1.0
+    logits = jnp.asarray(base)
+    for i in range(20):
+        tok = sample(logits, jax.random.PRNGKey(i), temperature=1.0,
+                     top_p=0.5)
+        assert set(np.asarray(tok)) <= {3, 7}, np.asarray(tok)
+    # p ~ 1 keeps everything samplable; argmax always survives even
+    # with tiny p.
+    tok = sample(logits, jax.random.PRNGKey(0), temperature=1.0,
+                 top_p=1e-6)
+    np.testing.assert_array_equal(np.asarray(tok), 3)
