@@ -40,6 +40,10 @@ class LlamaConfig:
     ffn_dim: int = 14336
     rope_theta: float = 500000.0
     norm_eps: float = 1e-5
+    # Sliding-window attention (Mistral/Gemma local pattern): every
+    # layer attends only the most recent `window` positions. None =
+    # full causal attention.
+    window: int | None = None
     dtype: Any = jnp.bfloat16
 
     @property
@@ -73,6 +77,15 @@ class LlamaConfig:
         return LlamaConfig(
             vocab_size=128256, dim=4096, n_layers=32, n_heads=32,
             n_kv_heads=8, ffn_dim=14336, **kw,
+        )
+
+    @staticmethod
+    def mistral_7b(**kw) -> "LlamaConfig":
+        """Mistral-7B-class shapes with the 4096-token sliding window."""
+        return LlamaConfig(
+            vocab_size=32000, dim=4096, n_layers=32, n_heads=32,
+            n_kv_heads=8, ffn_dim=14336, rope_theta=10000.0,
+            window=4096, **kw,
         )
 
     @staticmethod
@@ -242,7 +255,8 @@ def _attention_block(layer, x, cfg, positions, attn_impl=None,
     q = rope(q, positions, cfg.rope_theta)
     k = rope(k, positions, cfg.rope_theta)
     if attn_impl is None:
-        attn_impl = functools.partial(flash_attention, causal=True)
+        attn_impl = functools.partial(flash_attention, causal=True,
+                                      window=cfg.window)
     o = attn_impl(q, k, v)
     out = _psum(_mm("bhtk,hkd->btd", o, layer["wo"]), tp_axis)
     return out, (k, v)
@@ -530,6 +544,18 @@ def decode_step_paged_multi(params, tokens, cfg: LlamaConfig, k_pages,
     from flash_attention_tpu.ops.paged import paged_flash_decode
 
     b, t_new = tokens.shape
+    if cfg.window is not None:
+        # Window bounds are per-sequence (not per folded query) and
+        # tail rows must all be inside the window.
+        if t_new > 1:
+            raise NotImplementedError(
+                "sliding-window decode with multiple positions per "
+                "dispatch (speculative) is not wired; use "
+                "speculative_k=0")
+        if cfg.window <= k_tails[0].shape[2]:
+            raise ValueError(
+                f"window={cfg.window} must exceed the tail buffer "
+                f"({k_tails[0].shape[2]}) so tail tokens stay visible")
     hkv = k_tails[0].shape[1]          # LOCAL kv heads (= cfg's under tp=1)
     group = cfg.n_heads // cfg.n_kv_heads
     n_heads_local = hkv * group
@@ -561,10 +587,17 @@ def decode_step_paged_multi(params, tokens, cfg: LlamaConfig, k_pages,
 
         # [B, Hkv, G, T, D]; fold (G, T) into the paged kernel's group.
         qg = q.reshape(b, hkv, group, t_new, hd)
+        win_starts = None
+        if cfg.window is not None:
+            # Lowest visible position for the query at paged_lens +
+            # tail_pos (matching flash_decode's `lengths + 1` bound).
+            win_starts = jnp.maximum(
+                paged_lens + tail_pos + 1 - cfg.window, 0)
         o_p, lse_p = paged_flash_decode(
             qg.reshape(b, hkv * group * t_new, hd), kp, vp,
             page_tables, paged_lens,
-            k_scales=ksc, v_scales=vsc, scale=scale, return_lse=True)
+            k_scales=ksc, v_scales=vsc, scale=scale,
+            window_starts=win_starts, return_lse=True)
         o_p = o_p.reshape(b, hkv, group, t_new, hd).astype(jnp.float32)
         lse_p = lse_p.reshape(b, hkv, group, t_new)
         o_t, lse_t = _tail_attention(qg, kt, vt, tail_pos, scale)
@@ -634,7 +667,8 @@ def decode_step(params, token, cfg: LlamaConfig, cache, lengths):
         ck = ck.at[bidx, :, lengths].set(k[:, :, 0])
         cv = cv.at[bidx, :, lengths].set(v[:, :, 0])
         new_cache.append((ck, cv))
-        o = flash_decode(q[:, :, 0], ck, cv, lengths + 1)[:, :, None]
+        o = flash_decode(q[:, :, 0], ck, cv, lengths + 1,
+                         window=cfg.window)[:, :, None]
         x = x + _mm("bhtk,hkd->btd", o, layer["wo"])
         x = x + _mlp_block(layer, x, cfg)
     x = rmsnorm(x, params["final_norm"], cfg.norm_eps)

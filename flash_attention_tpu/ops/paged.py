@@ -34,8 +34,9 @@ from flash_attention_tpu.ops.quant import QUANT_BLOCK, tile_to_f32
 DEFAULT_PAGE_SIZE = 256
 
 
-def _paged_kernel(lengths_ref, pt_ref, q_ref, *rest, scale, page_size,
-                  max_pages, quantized, save_stats, window=None):
+def _paged_kernel(lengths_ref, starts_ref, pt_ref, q_ref, *rest, scale,
+                  page_size, max_pages, quantized, save_stats,
+                  windowed=False):
     idx = 0
     k_ref, v_ref = rest[0], rest[1]
     idx = 2
@@ -58,11 +59,11 @@ def _paged_kernel(lengths_ref, pt_ref, q_ref, *rest, scale, page_size,
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
     in_range = p * page_size < length
-    if window is not None:
-        # The query sits at position `length` (+ tail); pages entirely
-        # older than the window skip compute AND DMA (index-map clamp).
+    if windowed:
+        # Pages entirely below the per-sequence window start skip
+        # compute AND DMA (index-map clamp).
         in_range = jnp.logical_and(
-            in_range, (p + 1) * page_size > length - window)
+            in_range, (p + 1) * page_size > starts_ref[b])
 
     @pl.when(in_range)
     def _compute():
@@ -93,8 +94,8 @@ def _paged_kernel(lengths_ref, pt_ref, q_ref, *rest, scale, page_size,
         )                                            # [Hkv, G, ps]
         col = lax.broadcasted_iota(jnp.int32, s.shape, 2) + p * page_size
         s = jnp.where(col >= length, MASK_VALUE, s)
-        if window is not None:
-            s = jnp.where(col < length - window, MASK_VALUE, s)
+        if windowed:
+            s = jnp.where(col < starts_ref[b], MASK_VALUE, s)
 
         c = scale * LOG2E
         m_prev = m_scr[...]                          # [Hkv, G, LANES]
@@ -132,7 +133,8 @@ def _paged_kernel(lengths_ref, pt_ref, q_ref, *rest, scale, page_size,
 )
 def paged_flash_decode(q, k_pool, v_pool, page_table, lengths, *,
                        k_scales=None, v_scales=None, scale=None,
-                       window=None, interpret=None, return_lse=False):
+                       window=None, window_starts=None, interpret=None,
+                       return_lse=False):
     """Decode attention over paged KV pools.
 
     Args:
@@ -145,13 +147,17 @@ def paged_flash_decode(q, k_pool, v_pool, page_table, lengths, *,
       k_scales, v_scales: [Hkv, num_pages, page_size/QUANT_BLOCK, D] f32
         for quantized pools.
       window: sliding-window size relative to the NEXT position
-        (`length`): only cached positions > length - window are
+        (`length`): only cached positions >= length - window are
         visible (Mistral/Gemma local attention). Pages entirely older
         skip compute and DMA, so long-context decode reads O(window)
-        bytes instead of O(length). NOTE: with multiple folded query
-        positions (the speculative multi-token step) the bound is
-        per-sequence, not per-query — callers restrict window to
-        single-position decode.
+        bytes instead of O(length).
+      window_starts: [B] int32 — explicit per-sequence lowest visible
+        position, overriding `window` (the model decode path passes
+        paged_len + tail_pos - window so tail tokens count against the
+        window). Runtime data: one compiled program serves every
+        position. NOTE: with multiple folded query positions (the
+        speculative multi-token step) the bound is per-sequence, not
+        per-query — callers restrict window to single-position decode.
       return_lse: also return the fp32 log-sum-exp [B, Hq] so callers
         can LSE-merge this partial with attention over other segments
         (the hot-tail decode path in models/llama.py).
@@ -177,22 +183,27 @@ def paged_flash_decode(q, k_pool, v_pool, page_table, lengths, *,
     max_pages = page_table.shape[1]
     lengths = lengths.astype(jnp.int32)
     page_table = page_table.astype(jnp.int32)
+    windowed = window is not None or window_starts is not None
+    if window_starts is None:
+        starts = (jnp.maximum(lengths - window, 0).astype(jnp.int32)
+                  if windowed else jnp.zeros_like(lengths))
+    else:
+        starts = jnp.maximum(window_starts, 0).astype(jnp.int32)
 
     grid = (batch, max_pages)
 
-    def q_index(b, p, lens, pt):
+    def q_index(b, p, lens, starts_, pt):
         return (b, 0, 0, 0)
 
-    def pool_index(b, p, lens, pt):
+    def pool_index(b, p, lens, starts_, pt):
         # Out-of-range steps re-DMA a live page (cheap, masked); with a
         # window the oldest visible page is the redirect target so
         # below-window pages never touch HBM.
         p_lo = 0
         run = p * page_size < lens[b]
-        if window is not None:
-            p_lo = jnp.maximum(lens[b] - window, 0) // page_size
-            run = jnp.logical_and(
-                run, (p + 1) * page_size > lens[b] - window)
+        if windowed:
+            p_lo = starts_[b] // page_size
+            run = jnp.logical_and(run, (p + 1) * page_size > starts_[b])
         p_live = lax.select(run, p, p_lo)
         return (0, pt[b, p_live], 0, 0)
 
@@ -220,10 +231,10 @@ def paged_flash_decode(q, k_pool, v_pool, page_table, lengths, *,
         functools.partial(
             _paged_kernel, scale=scale, page_size=page_size,
             max_pages=max_pages, quantized=quantized,
-            save_stats=return_lse, window=window,
+            save_stats=return_lse, windowed=windowed,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
+            num_scalar_prefetch=3,
             grid=grid,
             in_specs=in_specs,
             out_specs=out_specs,
@@ -238,7 +249,7 @@ def paged_flash_decode(q, k_pool, v_pool, page_table, lengths, *,
             dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(lengths, page_table, *inputs)
+    )(lengths, starts, page_table, *inputs)
     o = outs[0].reshape(batch, hq, d)
     if return_lse:
         return o, outs[1][..., 0].reshape(batch, hq)
@@ -277,7 +288,7 @@ def validate_paged_inputs(k_pool, page_table, lengths, *, page_size=None):
 
 def paged_decode_reference(q, k_pool, v_pool, page_table, lengths, *,
                            k_scales=None, v_scales=None, scale=None,
-                           window=None):
+                           window=None, window_starts=None):
     """Exact reference: gather pages into contiguous caches, then run the
     masked softmax in fp32."""
     from flash_attention_tpu.ops.decode import decode_reference
@@ -303,5 +314,25 @@ def paged_decode_reference(q, k_pool, v_pool, page_table, lengths, *,
 
     k = gather(k_pool, k_scales)
     v = gather(v_pool, v_scales)
+    if window_starts is not None:
+        return _reference_with_starts(
+            q, k, v, lengths, jnp.asarray(window_starts), scale)
     return decode_reference(q, k, v, lengths, scale=scale,
                             window=window)
+
+
+def _reference_with_starts(q, k, v, lengths, starts, scale):
+    import numpy as _np
+    batch, hq, d = q.shape
+    _, hkv, s_len, _ = k.shape
+    group = hq // hkv
+    if scale is None:
+        scale = float(1.0 / _np.sqrt(d))
+    kk = jnp.repeat(k, group, axis=1).astype(jnp.float32)
+    vv = jnp.repeat(v, group, axis=1).astype(jnp.float32)
+    s = jnp.einsum("bhd,bhsd->bhs", q.astype(jnp.float32), kk) * scale
+    col = jnp.arange(s_len)[None, None, :]
+    bad = (col >= lengths[:, None, None]) | (col < starts[:, None, None])
+    s = jnp.where(bad, -jnp.inf, s)
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("bhs,bhsd->bhd", p, vv).astype(q.dtype)

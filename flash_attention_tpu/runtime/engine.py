@@ -226,6 +226,23 @@ class Engine:
         if self.decode_chunk >= self.cache.tail_size:
             raise ValueError("decode_chunk must be < tail_size")
 
+        # Sliding-window models (cfg.window): full prefill + plain
+        # decode only for now — chunked prefill's prefix-buffer
+        # attention and the speculative multi-position step don't
+        # carry the window bound yet.
+        if cfg.window is not None:
+            if prefill_chunk is not None or prefix_cache:
+                raise NotImplementedError(
+                    "sliding-window serving uses monolithic prefill "
+                    "(no prefill_chunk / prefix_cache yet)")
+            if speculative_k:
+                raise NotImplementedError(
+                    "sliding-window serving requires speculative_k=0")
+            if cfg.window <= self.cache.tail_size:
+                raise ValueError(
+                    f"window={cfg.window} must exceed tail_size "
+                    f"({self.cache.tail_size})")
+
         # Speculative decoding (n-gram prompt-lookup drafts): each
         # engine step feeds [next_token, k drafts] through ONE
         # multi-token decode dispatch (one weight read for k+1
