@@ -404,7 +404,10 @@ def cmd_decode_bench(args):
             jax.block_until_ready(toks)
             times.append(time.perf_counter() - t0)
         best = min(times)
-        n_params = sum(x.size for x in jax.tree.leaves(params))
+        from flash_attention_tpu.models.quantized import (
+            logical_param_count,
+        )
+        n_params = logical_param_count(params)
         p_gb = sum(x.size * x.dtype.itemsize
                    for x in jax.tree.leaves(params)) / 1e9
         kv_gb = (2 * cfg.n_layers * np.prod(pool_shape)
@@ -506,6 +509,16 @@ def cmd_train_bench(args):
             return make_train_step(cfg, opt, remat=args.remat)
 
     n_params = sum(x.size for x in jax.tree.leaves(params))
+    # MoE MFU convention: FLOPs count ACTIVE params (top_k of n_experts
+    # expert stacks), not total — dense published MFU numbers use the
+    # activated-params convention and total would inflate MoE ~E/top_k x.
+    if args.moe:
+        expert = sum(
+            layer[k].size for layer in params["layers"] if "router" in layer
+            for k in ("w_gate", "w_up", "w_down"))
+        n_active = n_params - expert + expert * cfg.top_k // cfg.n_experts
+    else:
+        n_active = n_params
     opt = optax.adamw(1e-4)
     opt_state = opt.init(params)
     step = jax.jit(make_step(opt), donate_argnums=(0, 1))
@@ -526,11 +539,13 @@ def cmd_train_bench(args):
     # 12*L*H*T^2*D*frac (fwd 4 halved by causality -> 2, bwd 2.5x with
     # recompute -> ~... use the standard 6+attention convention).
     attn = 6 * cfg.n_layers * cfg.n_heads * args.seq ** 2         * cfg.head_dim * args.batch * args.steps
-    flops = 6 * n_params * toks + attn
+    flops = 6 * n_active * toks + attn
     tps = toks / dt
     mfu = flops / dt / (args.peak_tflops * 1e12)
+    act = (f" ({n_active / 1e9:.2f}B active)" if n_active != n_params
+           else "")
     print(f"train-bench [{args.model}{' moe' if args.moe else ''}]: "
-          f"{n_params / 1e9:.2f}B params, batch {args.batch} x seq "
+          f"{n_params / 1e9:.2f}B params{act}, batch {args.batch} x seq "
           f"{args.seq}, remat={args.remat}")
     print(f"  {args.steps} steps in {dt:.2f} s = "
           f"{dt / args.steps * 1e3:.0f} ms/step, {tps:,.0f} tok/s/chip, "

@@ -90,7 +90,18 @@ def _weight_einsum(w, spec, x):
     keep_shape = xt.shape[: len(xkeep)]
     x2 = xt.reshape(int(np.prod(keep_shape) or 1), -1)
     y2 = w._matmul2d(x2)
-    wout_shape = w.orig_shape[w.n_contract:]
+    # Under shard_map the leaves are LOCAL shards while orig_shape stays
+    # logical/global; a column-sharded weight (expand_param_shardings
+    # puts the named axis on the leading out dim) scales that dim down.
+    wout_shape = list(w.orig_shape[w.n_contract:])
+    f_global = int(np.prod(wout_shape) or 1)
+    f_local = y2.shape[1]
+    if f_local != f_global:
+        if wout_shape[0] * f_local % f_global:
+            raise ValueError(
+                f"local out width {f_local} incompatible with logical "
+                f"out dims {tuple(wout_shape)}")
+        wout_shape[0] = wout_shape[0] * f_local // f_global
     y = y2.reshape(*keep_shape, *wout_shape)
     cur = xkeep + wout
     return jnp.transpose(y, [cur.index(c) for c in out])
@@ -121,7 +132,9 @@ class Int4Weight:
     def nbytes(self) -> int:
         return self.packed.size + self.scales.size * 4
 
-    def dequant(self, dtype=jnp.bfloat16):
+    def _dequant2d(self, dtype):
+        """[K_local, F_local] bf16 — no orig_shape reshape, so it works
+        on shard_map-local leaves too."""
         u = self.packed.view(jnp.uint8).astype(jnp.int32)
         lo = ((u & 0xF) ^ 8) - 8
         hi = (((u >> 4) & 0xF) ^ 8) - 8
@@ -129,13 +142,15 @@ class Int4Weight:
         q = jnp.stack([lo, hi], axis=1).reshape(2 * kp2, f)
         w = (q.astype(jnp.float32).reshape(-1, INT4_GROUP, f)
              * self.scales[:, None, :]).reshape(2 * kp2, f)
-        return w.astype(dtype).reshape(self.orig_shape)
+        return w.astype(dtype)
+
+    def dequant(self, dtype=jnp.bfloat16):
+        return self._dequant2d(dtype).reshape(self.orig_shape)
 
     def _matmul2d(self, x2):
         if x2.shape[0] <= _KERNEL_MAX_ROWS:
             return int4_matmul(x2, self.packed, self.scales)
-        return jnp.dot(x2, self.dequant(x2.dtype).reshape(
-            x2.shape[1], -1))
+        return jnp.dot(x2, self._dequant2d(x2.dtype))
 
     def einsum(self, spec, x):
         return _weight_einsum(self, spec, x)
@@ -264,3 +279,61 @@ def params_nbytes(params) -> int:
         for leaf in jax.tree.leaves(
             params, is_leaf=lambda x: isinstance(x, QuantizedWeight))
     )
+
+
+def expand_param_shardings(params, pspecs):
+    """Leaf-level PartitionSpecs for a (possibly quantized) param tree.
+
+    `pspecs` carries one LOGICAL spec per weight (matching orig_shape,
+    e.g. llama.serving_param_shardings). Quantized weights expand it to
+    their physical leaves: the named axis of the contract group shards
+    packed rows (and int4 group scales), the named axis of the out group
+    shards columns (and per-channel scales). Because the physical layout
+    flattens each group with its leading dim outermost, a named axis is
+    only legal on a group's LEADING dim — true of every llama layout
+    (wq/wk/wv heads, wo heads, mlp ffn, lm_head vocab).
+
+    The returned tree is congruent with `params` (quantized nodes hold
+    P leaves), so it drops straight into jax.tree.map device_put and
+    shard_map in_specs."""
+    from jax.sharding import PartitionSpec as P
+
+    def expand(w, spec):
+        if not isinstance(w, (QuantizedWeight, Int4Weight)):
+            return spec
+        full = tuple(spec) + (None,) * (len(w.orig_shape) - len(spec))
+        cgrp, fgrp = full[: w.n_contract], full[w.n_contract:]
+        for grp in (cgrp, fgrp):
+            if any(a is not None for a in grp[1:]):
+                raise ValueError(
+                    "quantized weights shard only on each group's "
+                    f"leading dim; got {spec} for shape {w.orig_shape} "
+                    f"(n_contract={w.n_contract})")
+        k_ax = cgrp[0] if cgrp else None
+        f_ax = fgrp[0] if fgrp else None
+        if isinstance(w, Int4Weight):
+            return Int4Weight(packed=P(k_ax, f_ax), scales=P(k_ax, f_ax),
+                              orig_shape=w.orig_shape,
+                              n_contract=w.n_contract)
+        return QuantizedWeight(q=P(k_ax, f_ax), scale=P(f_ax),
+                               orig_shape=w.orig_shape,
+                               n_contract=w.n_contract)
+
+    return jax.tree.map(
+        expand, params, pspecs,
+        is_leaf=lambda x: isinstance(x, (QuantizedWeight, Int4Weight)))
+
+
+def logical_param_count(params) -> int:
+    """Number of LOGICAL model parameters: quantized weights count their
+    unpacked orig_shape (an int4 8B tree is still an 8B model), dense
+    leaves their size."""
+    total = 0
+    for leaf in jax.tree.leaves(
+            params,
+            is_leaf=lambda x: isinstance(x, (QuantizedWeight, Int4Weight))):
+        if isinstance(leaf, (QuantizedWeight, Int4Weight)):
+            total += int(np.prod(leaf.orig_shape))
+        else:
+            total += leaf.size
+    return total

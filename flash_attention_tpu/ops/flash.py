@@ -41,6 +41,12 @@ structure is rebuilt around the TPU execution model:
 
 Skipped causal blocks use the index-map prefetch trick: a block that will
 not run maps its DMA to the block needed next, so no bandwidth is wasted.
+
+Ecosystem conventions (the MASK_VALUE constant, SegmentIds container,
+BlockSpec idioms) follow the public JAX Pallas TPU flash-attention op
+(jax/experimental/pallas/ops/tpu/flash_attention.py); the kernel bodies
+here — lazy stale-max softmax, exp2 scale folding, windowed/quantized/
+segment paths, both backward kernels — are original to this framework.
 """
 
 from __future__ import annotations

@@ -221,6 +221,14 @@ class Engine:
         # from the cached pages). Freed pages stay resident until
         # memory pressure evicts them LRU, so capacity is unaffected.
         self.prefix_cache = prefix_cache
+        # gather_pages fills prefix buffers in whole pages and prefill
+        # buckets are powers of two — a non-power-of-two page size could
+        # leave the buffer short of the bucket and shape-mismatch the
+        # chunked-prefill k_bufs path.
+        if prefix_cache and (page_size & (page_size - 1)):
+            raise ValueError(
+                f"prefix_cache requires a power-of-two page_size "
+                f"(got {page_size})")
 
         self.decode_chunk = max(1, decode_chunk)
         if self.decode_chunk >= self.cache.tail_size:
@@ -277,7 +285,11 @@ class Engine:
 
             tp_axis = "tp"
             tp = mesh.shape["tp"]
-            pspecs = serving_param_shardings(cfg, tp)
+            from flash_attention_tpu.models.quantized import (
+                expand_param_shardings,
+            )
+            pspecs = expand_param_shardings(
+                params, serving_param_shardings(cfg, tp))
             self.params = params = jax.tree.map(
                 lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
                 params, pspecs)

@@ -108,8 +108,11 @@ class BatchLoader:
     def _producer(self, start: int) -> None:
         s = start
         while not self._stop.is_set():
-            idx = self._indices_for(s)
-            out = np.stack([self.ds.window(int(w)) for w in idx])
+            try:
+                idx = self._indices_for(s)
+                out = np.stack([self.ds.window(int(w)) for w in idx])
+            except Exception as e:  # surface in __next__, don't hang
+                out = e
             # Bounded put that stays responsive to close().
             while not self._stop.is_set():
                 try:
@@ -117,13 +120,26 @@ class BatchLoader:
                     break
                 except queue.Full:
                     continue
+            if isinstance(out, Exception):
+                return
             s += 1
 
     def __iter__(self):
         return self
 
     def __next__(self) -> np.ndarray:
-        s, out = self._q.get()
+        # Timeout + liveness check: a producer that died BEFORE queueing
+        # its exception (e.g. killed) must not hang training forever.
+        while True:
+            try:
+                s, out = self._q.get(timeout=5.0)
+                break
+            except queue.Empty:
+                if not self._thread.is_alive():
+                    raise RuntimeError(
+                        "BatchLoader producer thread died") from None
+        if isinstance(out, Exception):
+            raise RuntimeError("BatchLoader producer failed") from out
         assert s == self.step, (s, self.step)
         self.step += 1
         return out
