@@ -215,9 +215,56 @@ def _mm(spec, x, w):
     return jnp.einsum(spec, x, w)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _psum_reduce(x, axis_name):
+    return jax.lax.psum(x, axis_name)
+
+
+def _psum_reduce_fwd(x, axis_name):
+    return jax.lax.psum(x, axis_name), None
+
+
+def _psum_reduce_bwd(axis_name, _, ct):
+    # Megatron "reduce_from_region": the reduced output is identical
+    # on every shard, so each shard's local branch receives the
+    # cotangent unchanged. (The default psum transpose under
+    # check_vma=False would psum again — an axis-size scaling bug.)
+    return (ct,)
+
+
+_psum_reduce.defvjp(_psum_reduce_fwd, _psum_reduce_bwd)
+
+
 def _psum(x, axis_name):
-    """Row-parallel reduction: identity outside shard_map (axis None)."""
-    return x if axis_name is None else jax.lax.psum(x, axis_name)
+    """Row-parallel reduction: identity outside shard_map (axis None);
+    differentiation-safe (fwd psum, bwd identity) inside."""
+    return x if axis_name is None else _psum_reduce(x, axis_name)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _tp_copy(x, axis_name):
+    return x
+
+
+def _tp_copy_fwd(x, axis_name):
+    return x, None
+
+
+def _tp_copy_bwd(axis_name, _, ct):
+    # Megatron "copy_to_region": a replicated activation consumed by
+    # every shard's local matmuls accumulates its TRUE cotangent as the
+    # sum of the per-shard partials.
+    return (jax.lax.psum(ct, axis_name),)
+
+
+_tp_copy.defvjp(_tp_copy_fwd, _tp_copy_bwd)
+
+
+def tp_copy(x, axis_name):
+    """Identity forward; backward all-reduces over `axis_name`. Place
+    where a replicated activation enters a tensor-parallel region so
+    VJPs inside shard_map(check_vma=False) stay exact."""
+    return x if axis_name is None else _tp_copy(x, axis_name)
 
 
 def rmsnorm(x, w, eps):
@@ -248,7 +295,7 @@ def _attention_block(layer, x, cfg, positions, attn_impl=None,
     decode_step / decode_step_paged. Under TP (tp_axis set, inside
     shard_map with serving_param_shardings) the head dims are local
     shards and the wo row-matmul psums back to the full residual."""
-    h = rmsnorm(x, layer["attn_norm"], cfg.norm_eps)
+    h = tp_copy(rmsnorm(x, layer["attn_norm"], cfg.norm_eps), tp_axis)
     q = _mm("btd,dhk->bhtk", h, layer["wq"])
     k = _mm("btd,dhk->bhtk", h, layer["wk"])
     v = _mm("btd,dhk->bhtk", h, layer["wv"])
@@ -279,7 +326,7 @@ def _mlp_block(layer, x, cfg, tp_axis=None):
 
         y, _ = moe_mlp(layer, x, cfg, expert_shard_axis=tp_axis)
         return y
-    h = rmsnorm(x, layer["mlp_norm"], cfg.norm_eps)
+    h = tp_copy(rmsnorm(x, layer["mlp_norm"], cfg.norm_eps), tp_axis)
     gate = _mm("btd,df->btf", h, layer["w_gate"])
     up = _mm("btd,df->btf", h, layer["w_up"])
     return _psum(_mm("btf,fd->btd", jax.nn.silu(gate) * up,
@@ -382,30 +429,34 @@ def prefill_kv(params, tokens, cfg: LlamaConfig, *, true_len=None,
 
 def prefill_chunk_step(params, tokens, cfg: LlamaConfig, k_bufs, v_bufs,
                        prefix_len, true_count, tp_axis=None):
-    """One chunk of an incremental (chunked) prefill.
+    """One chunk of an incremental (chunked) prefill, BATCHED across
+    requests.
 
     The TTFT path: instead of one monolithic prompt forward that blocks
     every live decode slot (the round-1 p50-TTFT weakness), the engine
-    interleaves fixed-size prompt chunks with decode steps. Attention
-    for a chunk is computed in two parts and LSE-merged (the same
-    recurrence the ring/decode paths use):
+    interleaves fixed-size prompt chunks with decode steps — and since
+    a dispatch costs the full weight read regardless of rows, several
+    queued prompts advance in ONE dispatch (each at its own per-row
+    offset). Attention for a chunk is computed in two parts and
+    LSE-merged (the same recurrence the ring/decode paths use):
 
       * chunk self-attention — causal flash kernel over the C new rows;
       * prefix attention — non-causal flash kernel over the FULL padded
-        KV buffer [T], with positions >= prefix_len masked via segment
-        ids (runtime data, so every chunk of every prompt length reuses
-        ONE compiled program per bucket size).
+        KV buffer [T], with positions >= prefix_len[b] masked via
+        segment ids (runtime data, so every chunk of every prompt
+        length reuses ONE compiled program per (B, C, T) bucket).
 
     Args:
-      tokens: [1, C] ids (garbage-padded past the prompt on the last
+      tokens: [B, C] ids (garbage-padded past the prompt on the last
         chunk — causal masking keeps real rows from seeing them).
-      k_bufs, v_bufs: [L, 1, Hkv, T, D] prompt KV buffers (donate them
-        in the jitted caller; the chunk's KV lands at prefix_len).
-      prefix_len: [] int32 — tokens already processed.
-      true_count: [] int32 — real tokens in THIS chunk (logits are read
-        at row true_count-1; only meaningful on the final chunk).
+      k_bufs, v_bufs: [L, B, Hkv, T, D] prompt KV buffers (donate them
+        in the jitted caller; row b's chunk KV lands at prefix_len[b]).
+      prefix_len: [B] (or scalar) int32 — tokens already processed.
+      true_count: [B] (or scalar) int32 — real tokens in THIS chunk
+        (logits are read at row true_count-1; only meaningful on each
+        request's final chunk).
 
-    Returns (logits [1, vocab], k_bufs, v_bufs).
+    Returns (logits [B, vocab], k_bufs, v_bufs).
     """
     from flash_attention_tpu.ops.flash import (
         SegmentIds,
@@ -414,15 +465,16 @@ def prefill_chunk_step(params, tokens, cfg: LlamaConfig, k_bufs, v_bufs,
 
     b, c = tokens.shape
     n_layers, _, hkv, t_bucket, hd = k_bufs.shape  # hkv = LOCAL shard under TP
-    prefix_len = jnp.asarray(prefix_len, jnp.int32)
-    positions = prefix_len + jnp.arange(c, dtype=jnp.int32)[None, :]
+    prefix_len = jnp.broadcast_to(
+        jnp.asarray(prefix_len, jnp.int32), (b,))
+    positions = prefix_len[:, None] + jnp.arange(c, dtype=jnp.int32)[None, :]
     # Prefix mask: kv ids flip to 1 at prefix_len; q ids stay 0 ->
     # columns >= prefix_len are invisible. The segment-id mask is data,
     # not shape, so chunks at every prefix reuse one compiled kernel.
     seg = SegmentIds(
         jnp.zeros((b, c), jnp.int32),
         (jnp.arange(t_bucket, dtype=jnp.int32)[None, :]
-         >= prefix_len).astype(jnp.int32),
+         >= prefix_len[:, None]).astype(jnp.int32),
     )
     x = params["embed"][tokens]
     new_ks, new_vs = [], []
@@ -445,17 +497,117 @@ def prefill_chunk_step(params, tokens, cfg: LlamaConfig, k_bufs, v_bufs,
         x = x + _psum(
             _mm("bhtk,hkd->btd", o.astype(x.dtype), layer["wo"]), tp_axis)
         x = x + _mlp_block(layer, x, cfg, tp_axis=tp_axis)
-    k_bufs = jax.lax.dynamic_update_slice(
-        k_bufs, jnp.stack(new_ks).astype(k_bufs.dtype),
-        (0, 0, 0, prefix_len, 0))
-    v_bufs = jax.lax.dynamic_update_slice(
-        v_bufs, jnp.stack(new_vs).astype(v_bufs.dtype),
-        (0, 0, 0, prefix_len, 0))
+    # Per-row KV landing offsets (requests in a batched dispatch sit at
+    # different prefix depths): vmap the update over the batch axis.
+    upd = jax.vmap(
+        lambda buf, new, off: jax.lax.dynamic_update_slice(
+            buf, new, (0, 0, off, 0)),
+        in_axes=(1, 1, 0), out_axes=1)
+    k_bufs = upd(k_bufs, jnp.stack(new_ks).astype(k_bufs.dtype),
+                 prefix_len)
+    v_bufs = upd(v_bufs, jnp.stack(new_vs).astype(v_bufs.dtype),
+                 prefix_len)
     x = rmsnorm(x, params["final_norm"], cfg.norm_eps)
-    idx = jnp.maximum(jnp.asarray(true_count, jnp.int32) - 1, 0)
-    last = jax.lax.dynamic_slice_in_dim(x, idx, 1, axis=1)[:, 0]
+    idx = jnp.maximum(
+        jnp.broadcast_to(jnp.asarray(true_count, jnp.int32), (b,)) - 1, 0)
+    last = jnp.take_along_axis(x, idx[:, None, None], axis=1)[:, 0]
     logits = _lm_head_logits(params, last, tp_axis)
     return logits, k_bufs, v_bufs
+
+
+def prefill_window_chunk_step(params, tokens, cfg: LlamaConfig, k_roll,
+                              v_roll, prefix_len, true_count,
+                              tp_axis=None):
+    """One chunk of an incremental prefill for a SLIDING-WINDOW model,
+    batched across requests.
+
+    TPU-first design: a windowed query at position p sees only
+    [p + 1 - window, p], so the prefill context is a fixed-width
+    ROLLING buffer holding the last W_b >= window positions — prompt
+    length never enters the compile shape and prefill reads O(window)
+    KV per chunk instead of O(prompt). Attention per chunk is two
+    static-masked flash calls, LSE-merged:
+
+      * chunk self-attention — causal flash kernel over the C new rows
+        with the model window;
+      * roll-buffer attention — buffer col j holds absolute position
+        prefix_len[b] - W_b + j, so q row i (absolute prefix_len + i)
+        relates to cols by a STATIC offset: visible iff
+        j >= i + 1 + (W_b - window), exactly the causal kernel with
+        offset=W_b (never masks) + window=window. Cols below position
+        0 (buffer not yet full) are masked by data-driven segment ids,
+        so every (B, C) chunk of every prompt reuses ONE compiled
+        program.
+
+    After attention the buffer rolls left by C and the chunk's KV
+    appends — a static concatenate, no dynamic update.
+
+    Args:
+      tokens: [B, C] ids (garbage-padded past the prompt on the final
+        chunk — rows past true_count are never read).
+      k_roll, v_roll: [L, B, Hkv, W_b, D] rolling KV buffers (donate in
+        the jitted caller), W_b >= window and >= C.
+      prefix_len: [B] (or scalar) int32 — tokens already processed.
+      true_count: [B] (or scalar) int32 — real tokens in THIS chunk.
+
+    Returns (logits [B, vocab], k_roll, v_roll).
+    """
+    from flash_attention_tpu.ops.flash import (
+        SegmentIds,
+        flash_attention_fwd,
+    )
+
+    b, c = tokens.shape
+    n_layers, _, hkv, w_b, hd = k_roll.shape
+    if cfg.window is None:
+        raise ValueError("prefill_window_chunk_step needs cfg.window")
+    if w_b < cfg.window or w_b < c:
+        raise ValueError(f"roll buffer {w_b} must be >= window "
+                         f"{cfg.window} and chunk {c}")
+    prefix_len = jnp.broadcast_to(
+        jnp.asarray(prefix_len, jnp.int32), (b,))
+    positions = prefix_len[:, None] + jnp.arange(c, dtype=jnp.int32)[None, :]
+    # Buffer cols below absolute position 0 (j < W_b - prefix_len) are
+    # invalid until the buffer fills once.
+    seg = SegmentIds(
+        jnp.zeros((b, c), jnp.int32),
+        (jnp.arange(w_b, dtype=jnp.int32)[None, :]
+         < w_b - prefix_len[:, None]).astype(jnp.int32),
+    )
+    x = params["embed"][tokens]
+    new_ks, new_vs = [], []
+    for li, layer in enumerate(params["layers"]):
+        h = rmsnorm(x, layer["attn_norm"], cfg.norm_eps)
+        q = _mm("btd,dhk->bhtk", h, layer["wq"])
+        k = _mm("btd,dhk->bhtk", h, layer["wk"])
+        v = _mm("btd,dhk->bhtk", h, layer["wv"])
+        q = rope(q, positions, cfg.rope_theta)
+        k = rope(k, positions, cfg.rope_theta)
+        new_ks.append(k)
+        new_vs.append(v)
+        o_s, lse_s = flash_attention_fwd(
+            q, k, v, causal=True, offset=0, window=cfg.window)
+        o_p, lse_p = flash_attention_fwd(
+            q, k_roll[li].astype(q.dtype), v_roll[li].astype(q.dtype),
+            seg, causal=True, offset=w_b, window=cfg.window)
+        lse = jnp.logaddexp(lse_s, lse_p)            # [B, H, C, LANES]
+        o = (o_s.astype(jnp.float32) * jnp.exp(lse_s - lse)[..., :1]
+             + o_p.astype(jnp.float32) * jnp.exp(lse_p - lse)[..., :1])
+        x = x + _psum(
+            _mm("bhtk,hkd->btd", o.astype(x.dtype), layer["wo"]), tp_axis)
+        x = x + _mlp_block(layer, x, cfg, tp_axis=tp_axis)
+    k_roll = jnp.concatenate(
+        [k_roll[:, :, :, c:], jnp.stack(new_ks).astype(k_roll.dtype)],
+        axis=3)
+    v_roll = jnp.concatenate(
+        [v_roll[:, :, :, c:], jnp.stack(new_vs).astype(v_roll.dtype)],
+        axis=3)
+    x = rmsnorm(x, params["final_norm"], cfg.norm_eps)
+    idx = jnp.maximum(
+        jnp.broadcast_to(jnp.asarray(true_count, jnp.int32), (b,)) - 1, 0)
+    last = jnp.take_along_axis(x, idx[:, None, None], axis=1)[:, 0]
+    logits = _lm_head_logits(params, last, tp_axis)
+    return logits, k_roll, v_roll
 
 
 def _tail_attention(q, kt, vt, tail_pos, scale):
@@ -491,7 +643,8 @@ def _tail_attention(q, kt, vt, tail_pos, scale):
 
 def decode_step_paged(params, token, cfg: LlamaConfig, k_pages, v_pages,
                       k_tails, v_tails, page_tables, paged_lens, tail_pos,
-                      k_scales=None, v_scales=None, tp_axis=None):
+                      k_scales=None, v_scales=None, paged_bases=None,
+                      tp_axis=None):
     """One decode step: paged prefix (READ-ONLY Pallas kernel) + dense
     hot-tail buffer (jnp attention, scattered in place).
 
@@ -518,26 +671,36 @@ def decode_step_paged(params, token, cfg: LlamaConfig, k_pages, v_pages,
     logits, new_k_tails, new_v_tails = decode_step_paged_multi(
         params, token[:, None], cfg, k_pages, v_pages, k_tails, v_tails,
         page_tables, paged_lens, tail_pos, k_scales=k_scales,
-        v_scales=v_scales, tp_axis=tp_axis)
+        v_scales=v_scales, paged_bases=paged_bases, tp_axis=tp_axis)
     return logits[:, 0], new_k_tails, new_v_tails
 
 
 def decode_step_paged_multi(params, tokens, cfg: LlamaConfig, k_pages,
                             v_pages, k_tails, v_tails, page_tables,
                             paged_lens, tail_pos, k_scales=None,
-                            v_scales=None, tp_axis=None):
+                            v_scales=None, paged_bases=None,
+                            tp_axis=None):
     """T-token decode step: process tokens [B, T] in ONE forward (one
     weight read for all T positions — the speculative-decoding
     verification primitive; T=1 is the plain decode step).
 
-    Position t of each sequence sits at paged_lens + tail_pos + t. All
-    T queries attend the (read-only) paged prefix identically, so the
-    paged kernel sees them folded into its GQA group dim; causality
-    among the new positions lives in the tail mask (query t sees tail
-    rows <= tail_pos + t). All T tokens' KV is written into the tail —
-    a speculative caller that rejects a suffix simply advances tail_pos
-    by the accepted count, leaving rejected rows stale (masked, and
-    overwritten by the next step).
+    Position t of each sequence sits at paged_bases + paged_lens +
+    tail_pos + t. All T queries attend the (read-only) paged prefix
+    identically, so the paged kernel sees them folded into its GQA
+    group dim; causality among the new positions lives in the tail mask
+    (query t sees tail rows <= tail_pos + t). All T tokens' KV is
+    written into the tail — a speculative caller that rejects a suffix
+    simply advances tail_pos by the accepted count, leaving rejected
+    rows stale (masked, and overwritten by the next step).
+
+    `paged_bases` [B] (default zeros) counts FRONT-EVICTED tokens of a
+    sliding-window sequence: the page table and paged_lens are in
+    STORED coordinates (first live page onward) while RoPE positions
+    are absolute. The window start in stored coordinates is
+    independent of the base (both shift equally), so the kernel mask
+    needs no base at all. Under a window, multi-position dispatches
+    give each folded query its exact per-position window start
+    (paged_flash_decode qpos_spread).
 
     Returns (logits [B, T, vocab], k_tails, v_tails).
     """
@@ -545,13 +708,6 @@ def decode_step_paged_multi(params, tokens, cfg: LlamaConfig, k_pages,
 
     b, t_new = tokens.shape
     if cfg.window is not None:
-        # Window bounds are per-sequence (not per folded query) and
-        # tail rows must all be inside the window.
-        if t_new > 1:
-            raise NotImplementedError(
-                "sliding-window decode with multiple positions per "
-                "dispatch (speculative) is not wired; use "
-                "speculative_k=0")
         if cfg.window <= k_tails[0].shape[2]:
             raise ValueError(
                 f"window={cfg.window} must exceed the tail buffer "
@@ -561,7 +717,9 @@ def decode_step_paged_multi(params, tokens, cfg: LlamaConfig, k_pages,
     n_heads_local = hkv * group
     hd = cfg.head_dim
     scale = 1.0 / float(np.sqrt(hd))
-    positions = (paged_lens + tail_pos)[:, None] + \
+    if paged_bases is None:
+        paged_bases = jnp.zeros_like(paged_lens)
+    positions = (paged_bases + paged_lens + tail_pos)[:, None] + \
         jnp.arange(t_new, dtype=jnp.int32)[None, :]   # [B, T]
     bidx = jnp.arange(b)
     trow = tail_pos[:, None] + jnp.arange(t_new)[None, :]  # [B, T]
@@ -589,15 +747,19 @@ def decode_step_paged_multi(params, tokens, cfg: LlamaConfig, k_pages,
         qg = q.reshape(b, hkv, group, t_new, hd)
         win_starts = None
         if cfg.window is not None:
-            # Lowest visible position for the query at paged_lens +
-            # tail_pos (matching flash_decode's `lengths + 1` bound).
+            # Lowest visible STORED position for the query at
+            # paged_lens + tail_pos (matching flash_decode's
+            # `lengths + 1` bound); the front-evicted base cancels.
+            # Later folded positions (t > 0) add t in-kernel
+            # (qpos_spread).
             win_starts = jnp.maximum(
                 paged_lens + tail_pos + 1 - cfg.window, 0)
         o_p, lse_p = paged_flash_decode(
             qg.reshape(b, hkv * group * t_new, hd), kp, vp,
             page_tables, paged_lens,
             k_scales=ksc, v_scales=vsc, scale=scale,
-            window_starts=win_starts, return_lse=True)
+            window_starts=win_starts, qpos_spread=t_new,
+            return_lse=True)
         o_p = o_p.reshape(b, hkv, group, t_new, hd).astype(jnp.float32)
         lse_p = lse_p.reshape(b, hkv, group, t_new)
         o_t, lse_t = _tail_attention(qg, kt, vt, tail_pos, scale)

@@ -42,6 +42,86 @@ def apply_top_p(logits, top_p):
     return jnp.where(active & (logits < thr), -jnp.inf, logits)
 
 
+def speculative_sample(logits, tokens, temps, top_ps, key):
+    """Rejection-scheme speculative sampling over one multi-token
+    verify dispatch (Leviathan/Chen speculative sampling specialized to
+    a DETERMINISTIC draft, i.e. a point-mass proposal q = onehot(d)):
+
+      * position i's target distribution p_i = softmax of the (temp +
+        nucleus)-filtered logits; the draft token d_{i+1} is accepted
+        with probability p_i(d_{i+1}) (min(1, p/q) with q = 1);
+      * at the first rejection a, the correction token samples from the
+        residual max(p_a - q_a, 0)/Z — for a point mass that is exactly
+        p_a with the draft token masked out and renormalized;
+      * if every draft is accepted, a bonus token samples from p_k.
+
+    The output distribution provably equals sequential sampling from p,
+    so speculation never changes the sampling law — only the number of
+    weight reads per token. Greedy rows (temp <= 0) use the argmax-
+    equality limit (identical to the old greedy-only verify).
+
+    Args:
+      logits: [B, k+1, V] verify logits (position i predicts the token
+        after input position i).
+      tokens: [B, k+1] int32 — the dispatched block: [next_token,
+        k draft tokens].
+      temps, top_ps: [B] f32 per-row sampling knobs.
+      key: PRNG key for this step.
+
+    Returns (out [B, k+1] int32, accepted [B] int32): row b's emitted
+    tokens are out[b, :accepted[b] + 1].
+    """
+    b, kp1, v = logits.shape
+    k = kp1 - 1
+    logits = logits.astype(jnp.float32)
+    greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)   # [B, k+1]
+    tsafe = jnp.maximum(temps, 1e-6)[:, None, None]
+    filt = apply_top_p(
+        (logits / tsafe).reshape(b * kp1, v),
+        jnp.repeat(top_ps, kp1),
+    ).reshape(b, kp1, v)
+    p = jax.nn.softmax(filt, axis=-1)                        # [B, k+1, V]
+
+    is_greedy = (temps <= 0.0)[:, None]
+    if k:
+        drafts = tokens[:, 1:]                               # [B, k]
+        p_draft = jnp.take_along_axis(
+            p[:, :k], drafts[..., None], axis=-1)[..., 0]    # [B, k]
+        key, ku = jax.random.split(key)
+        u = jax.random.uniform(ku, (b, k))
+        acc = jnp.where(is_greedy, greedy[:, :k] == drafts, u < p_draft)
+        # First rejected index in 0..k (k = all accepted).
+        accepted = jnp.sum(
+            jnp.cumprod(acc.astype(jnp.int32), axis=1), axis=1)
+    else:
+        drafts = jnp.zeros((b, 0), jnp.int32)
+        accepted = jnp.zeros((b,), jnp.int32)
+
+    # Correction token at position `accepted`: residual distribution
+    # (draft token masked) on a true rejection, plain p_k on accept-all.
+    filt_a = jnp.take_along_axis(
+        filt, accepted[:, None, None], axis=1)[:, 0]         # [B, V]
+    if k:
+        d_a = jnp.take_along_axis(
+            tokens, jnp.minimum(accepted + 1, k)[:, None], axis=1)[:, 0]
+        rejected = (accepted < k)[:, None]
+        onehot = jax.nn.one_hot(d_a, v, dtype=jnp.bool_)
+        filt_a = jnp.where(rejected & onehot, -jnp.inf, filt_a)
+    key, kc = jax.random.split(key)
+    corr_s = jax.random.categorical(kc, filt_a, axis=-1).astype(jnp.int32)
+    corr_g = jnp.take_along_axis(
+        greedy, accepted[:, None], axis=1)[:, 0]
+    corr = jnp.where(is_greedy[:, 0], corr_g, corr_s)        # [B]
+
+    # out[:, i] = draft for i < accepted, correction at i == accepted.
+    pos = jnp.arange(kp1)[None, :]
+    dpad = jnp.pad(drafts, ((0, 0), (0, 1)))
+    out = jnp.where(pos < accepted[:, None], dpad,
+                    jnp.where(pos == accepted[:, None], corr[:, None],
+                              dpad))
+    return out.astype(jnp.int32), accepted
+
+
 def generate(params, prompt_tokens, cfg, *, max_new_tokens: int,
              max_len: int | None = None, temperature: float = 0.0,
              top_k: int = 0, top_p: float = 0.0, key=None):

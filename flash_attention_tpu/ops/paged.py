@@ -36,7 +36,7 @@ DEFAULT_PAGE_SIZE = 256
 
 def _paged_kernel(lengths_ref, starts_ref, pt_ref, q_ref, *rest, scale,
                   page_size, max_pages, quantized, save_stats,
-                  windowed=False):
+                  windowed=False, qpos_spread=1):
     idx = 0
     k_ref, v_ref = rest[0], rest[1]
     idx = 2
@@ -95,7 +95,16 @@ def _paged_kernel(lengths_ref, starts_ref, pt_ref, q_ref, *rest, scale,
         col = lax.broadcasted_iota(jnp.int32, s.shape, 2) + p * page_size
         s = jnp.where(col >= length, MASK_VALUE, s)
         if windowed:
-            s = jnp.where(col < starts_ref[b], MASK_VALUE, s)
+            # Per-folded-query window start: with T positions folded
+            # into the group dim (t fastest), query t's start is
+            # starts_ref[b] + t. Starts may be negative (window not yet
+            # full); col >= 0 makes the clamp implicit.
+            start = starts_ref[b]
+            if qpos_spread > 1:
+                start = start + (
+                    lax.broadcasted_iota(jnp.int32, s.shape, 1)
+                    % qpos_spread)
+            s = jnp.where(col < start, MASK_VALUE, s)
 
         c = scale * LOG2E
         m_prev = m_scr[...]                          # [Hkv, G, LANES]
@@ -129,12 +138,12 @@ def _paged_kernel(lengths_ref, starts_ref, pt_ref, q_ref, *rest, scale,
 
 @functools.partial(
     jax.jit, static_argnames=("scale", "interpret", "return_lse",
-                              "window"),
+                              "window", "qpos_spread"),
 )
 def paged_flash_decode(q, k_pool, v_pool, page_table, lengths, *,
                        k_scales=None, v_scales=None, scale=None,
-                       window=None, window_starts=None, interpret=None,
-                       return_lse=False):
+                       window=None, window_starts=None, qpos_spread=1,
+                       interpret=None, return_lse=False):
     """Decode attention over paged KV pools.
 
     Args:
@@ -152,12 +161,16 @@ def paged_flash_decode(q, k_pool, v_pool, page_table, lengths, *,
         skip compute and DMA, so long-context decode reads O(window)
         bytes instead of O(length).
       window_starts: [B] int32 — explicit per-sequence lowest visible
-        position, overriding `window` (the model decode path passes
-        paged_len + tail_pos - window so tail tokens count against the
-        window). Runtime data: one compiled program serves every
-        position. NOTE: with multiple folded query positions (the
-        speculative multi-token step) the bound is per-sequence, not
-        per-query — callers restrict window to single-position decode.
+        position for the FIRST folded query, overriding `window` (the
+        model decode path passes paged_len + tail_pos + 1 - window so
+        tail tokens count against the window). May be negative (window
+        not yet full — masking is implicit since columns are >= 0).
+        Runtime data: one compiled program serves every position.
+      qpos_spread: static — number of consecutive query POSITIONS
+        folded into the head dim (t fastest; the speculative
+        multi-token step). Folded query t's window start is
+        window_starts + t, applied exactly in-kernel. DMA page
+        skipping conservatively uses the t=0 (lowest) start.
       return_lse: also return the fp32 log-sum-exp [B, Hq] so callers
         can LSE-merge this partial with attention over other segments
         (the hot-tail decode path in models/llama.py).
@@ -185,10 +198,15 @@ def paged_flash_decode(q, k_pool, v_pool, page_table, lengths, *,
     page_table = page_table.astype(jnp.int32)
     windowed = window is not None or window_starts is not None
     if window_starts is None:
-        starts = (jnp.maximum(lengths - window, 0).astype(jnp.int32)
+        # Raw (possibly negative) starts: the kernel mask is implicit
+        # below 0; the index map clamps for page arithmetic.
+        starts = ((lengths - window).astype(jnp.int32)
                   if windowed else jnp.zeros_like(lengths))
     else:
-        starts = jnp.maximum(window_starts, 0).astype(jnp.int32)
+        starts = jnp.asarray(window_starts, jnp.int32)
+    if qpos_spread > 1 and hq % qpos_spread:
+        raise ValueError(
+            f"qpos_spread={qpos_spread} must divide Hq={hq}")
 
     grid = (batch, max_pages)
 
@@ -202,8 +220,9 @@ def paged_flash_decode(q, k_pool, v_pool, page_table, lengths, *,
         p_lo = 0
         run = p * page_size < lens[b]
         if windowed:
-            p_lo = starts_[b] // page_size
-            run = jnp.logical_and(run, (p + 1) * page_size > starts_[b])
+            s0 = jnp.maximum(starts_[b], 0)
+            p_lo = s0 // page_size
+            run = jnp.logical_and(run, (p + 1) * page_size > s0)
         p_live = lax.select(run, p, p_lo)
         return (0, pt[b, p_live], 0, 0)
 
@@ -232,6 +251,7 @@ def paged_flash_decode(q, k_pool, v_pool, page_table, lengths, *,
             _paged_kernel, scale=scale, page_size=page_size,
             max_pages=max_pages, quantized=quantized,
             save_stats=return_lse, windowed=windowed,
+            qpos_spread=qpos_spread if windowed else 1,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,

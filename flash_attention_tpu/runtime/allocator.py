@@ -20,13 +20,16 @@ _BUILD_LOCK = threading.Lock()
 
 def _load_native():
     with _BUILD_LOCK:
-        if not _SO.exists():
-            try:
-                subprocess.run(
-                    ["make", "-C", str(_NATIVE_DIR)],
-                    check=True, capture_output=True, timeout=120,
-                )
-            except Exception:
+        # Always invoke make: a no-op when the .so is newer than the
+        # sources, a rebuild when the C++ changed (a stale .so would
+        # silently miss newer exports).
+        try:
+            subprocess.run(
+                ["make", "-C", str(_NATIVE_DIR)],
+                check=True, capture_output=True, timeout=120,
+            )
+        except Exception:
+            if not _SO.exists():
                 return None
         try:
             lib = ctypes.CDLL(str(_SO))
@@ -71,6 +74,14 @@ def _load_native():
     lib.pa_alloc_seq_prefixed.argtypes = [
         ctypes.c_void_p, ctypes.c_int32, i32p, ctypes.c_int32]
     lib.pa_cache_stats.argtypes = [ctypes.c_void_p, i32p, i32p]
+    lib.pa_alloc_seq_based.restype = ctypes.c_int32
+    lib.pa_alloc_seq_based.argtypes = [ctypes.c_void_p, ctypes.c_int32,
+                                       ctypes.c_int32]
+    lib.pa_pop_front.restype = ctypes.c_int32
+    lib.pa_pop_front.argtypes = [ctypes.c_void_p, ctypes.c_int32,
+                                 ctypes.c_int32]
+    lib.pa_seq_base.restype = ctypes.c_int32
+    lib.pa_seq_base.argtypes = [ctypes.c_void_p, ctypes.c_int32]
     return lib
 
 
@@ -110,8 +121,23 @@ class NativeAllocator:
     def free_pages(self) -> int:
         return self._lib.pa_num_free_pages(self._pa)
 
-    def alloc(self, tokens: int) -> int:
+    def alloc(self, tokens: int, base_pages: int = 0) -> int:
+        if base_pages:
+            return self._lib.pa_alloc_seq_based(self._pa, tokens,
+                                                base_pages)
         return self._lib.pa_alloc_seq(self._pa, tokens)
+
+    def pop_front(self, seq_id: int, n: int) -> int:
+        """Sliding-window eviction: free the first n live pages.
+        Returns the new base (pages) or raises on a bad call."""
+        r = self._lib.pa_pop_front(self._pa, seq_id, n)
+        if r < 0:
+            raise ValueError(f"pop_front({seq_id}, {n}) failed")
+        return r
+
+    def base(self, seq_id: int) -> int:
+        """Evicted front pages of seq (0 when never evicted)."""
+        return max(self._lib.pa_seq_base(self._pa, seq_id), 0)
 
     def extend(self, seq_id: int, new_len: int) -> bool:
         return self._lib.pa_extend(self._pa, seq_id, new_len) == 0
@@ -201,7 +227,10 @@ class PyAllocator:
         self.max_seqs = max_seqs
         self._free = list(range(num_pages - 1, -1, -1))
         self._ref = [0] * num_pages
-        self._seqs = [None] * max_seqs  # None or (pages list, length)
+        # None or [pages list, ABSOLUTE length, base_pages] — pages[i]
+        # holds tokens of absolute page base_pages + i (front pages
+        # evicted by pop_front under sliding-window serving).
+        self._seqs = [None] * max_seqs
         # Prefix cache: chain hash -> page; LRU of evictable pages.
         import collections
         self._cache = {}
@@ -237,24 +266,44 @@ class PyAllocator:
     def _pages_needed(self, tokens):
         return -(-tokens // self.page_size)
 
-    def alloc(self, tokens: int) -> int:
+    def alloc(self, tokens: int, base_pages: int = 0) -> int:
         sid = self._find_slot()
-        need = self._pages_needed(tokens)
-        if sid < 0 or self.free_pages < need:
+        need = self._pages_needed(tokens) - base_pages
+        if sid < 0 or base_pages < 0 or need < 0 \
+                or self.free_pages < need:
             return -1
         pages = []
         for _ in range(need):
             p = self._take_page()
             self._ref[p] = 1
             pages.append(p)
-        self._seqs[sid] = (pages, tokens)
+        self._seqs[sid] = [pages, tokens, base_pages]
         return sid
+
+    def pop_front(self, seq_id: int, n: int) -> int:
+        """Sliding-window eviction: free the first n live pages."""
+        if not self._valid(seq_id):
+            raise ValueError(f"bad seq {seq_id}")
+        pages, _, base = self._seqs[seq_id]
+        if n < 0 or n > len(pages):
+            raise ValueError(f"pop_front({seq_id}, {n}) out of range")
+        for p in pages[:n]:
+            self._ref[p] -= 1
+            if self._ref[p] == 0:
+                self._retire_page(p)
+        del pages[:n]
+        self._seqs[seq_id][2] = base + n
+        return base + n
+
+    def base(self, seq_id: int) -> int:
+        s = self._seqs[seq_id] if self._valid(seq_id) else None
+        return s[2] if s else 0
 
     def extend(self, seq_id: int, new_len: int) -> bool:
         if not (0 <= seq_id < self.max_seqs) or self._seqs[seq_id] is None:
             return False
-        pages, _ = self._seqs[seq_id]
-        need = self._pages_needed(new_len)
+        pages, _, base = self._seqs[seq_id]
+        need = self._pages_needed(new_len) - base
         if need > len(pages):
             if self.free_pages < need - len(pages):
                 return False
@@ -262,7 +311,7 @@ class PyAllocator:
                 p = self._take_page()
                 self._ref[p] = 1
                 pages.append(p)
-        self._seqs[seq_id] = (pages, new_len)
+        self._seqs[seq_id][1] = new_len
         return True
 
     def _valid(self, seq_id: int) -> bool:
@@ -274,17 +323,17 @@ class PyAllocator:
         sid = self._find_slot()
         if sid < 0:
             return -1
-        pages, length = self._seqs[src_id]
+        pages, length, base = self._seqs[src_id]
         for p in pages:
             self._ref[p] += 1
-        self._seqs[sid] = (list(pages), length)
+        self._seqs[sid] = [list(pages), length, base]
         return sid
 
     def cow_last_page(self, seq_id: int):
         s = self._seqs[seq_id] if self._valid(seq_id) else None
         if s is None or not s[0]:
             raise ValueError(f"bad seq {seq_id}")
-        pages, _ = s
+        pages = s[0]
         last = pages[-1]
         # A hash-registered page is content-addressed; never mutate it
         # in place even when exclusively owned (defensive — only FULL
@@ -304,7 +353,7 @@ class PyAllocator:
     def free(self, seq_id: int) -> None:
         if not (0 <= seq_id < self.max_seqs) or self._seqs[seq_id] is None:
             return
-        pages, _ = self._seqs[seq_id]
+        pages = self._seqs[seq_id][0]
         for p in pages:
             self._ref[p] -= 1
             if self._ref[p] == 0:
@@ -329,8 +378,9 @@ class PyAllocator:
     def cache_put(self, seq_id: int, hashes) -> int:
         if not self._valid(seq_id):
             return -1
-        pages, _ = self._seqs[seq_id]
-        if len(hashes) > len(pages):
+        pages, _, base = self._seqs[seq_id]
+        # Front-evicted: page i no longer holds prompt page i.
+        if len(hashes) > len(pages) or base != 0:
             return -1
         added = 0
         for h, p in zip(hashes, pages):
@@ -371,7 +421,7 @@ class PyAllocator:
             p = self._take_page()
             self._ref[p] = 1
             pages.append(p)
-        self._seqs[sid] = (pages, tokens)
+        self._seqs[sid] = [pages, tokens, 0]
         return sid
 
     def cache_stats(self) -> dict:

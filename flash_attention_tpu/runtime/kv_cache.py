@@ -416,17 +416,47 @@ class LayeredPagedKVCache:
     def pages_for(self, tokens: int) -> int:
         return -(-tokens // self.page_size)
 
-    def add_sequence(self, ks, vs) -> int:
+    def add_sequence(self, ks, vs, base_tokens: int = 0) -> int:
         """Admit a sequence with prefill K/V [L, Hkv, T, D] (or reserve
-        empty with ks=vs=None and a later write). Returns seq_id; raises
-        MemoryError when the pool/slots are exhausted."""
+        empty with ks=vs=None and a later write). With `base_tokens`
+        (page-aligned), the sequence's first base_tokens positions are
+        treated as ALREADY EVICTED (sliding-window admission: ks/vs
+        hold only positions [base_tokens, base_tokens + T)); length()
+        stays absolute. Returns seq_id; raises MemoryError when the
+        pool/slots are exhausted."""
+        if base_tokens % self.page_size:
+            raise ValueError("base_tokens must be page-aligned")
         t = ks.shape[2] if ks is not None else 1
-        sid = self.allocator.alloc(max(t, 1))
+        sid = self.allocator.alloc(max(base_tokens + t, 1),
+                                   base_pages=base_tokens
+                                   // self.page_size)
         if sid < 0:
             raise MemoryError("KV pool exhausted")
         if ks is not None and t:
-            self.write(sid, 0, ks, vs)
+            self.write(sid, base_tokens, ks, vs)
         return sid
+
+    # --- sliding-window eviction ---------------------------------------
+
+    def base_tokens(self, seq_id: int) -> int:
+        """Front-evicted tokens of seq (absolute positions below this
+        have no pages)."""
+        return self.allocator.base(seq_id) * self.page_size
+
+    def evict_below(self, seq_id: int, keep_from: int) -> int:
+        """Free whole front pages entirely below absolute position
+        `keep_from` (sliding-window reclamation: positions below the
+        attention window can never be read again). Returns pages
+        freed."""
+        target = max(keep_from, 0) // self.page_size
+        cur = self.allocator.base(seq_id)
+        # Never evict into unpaged territory.
+        limit = self.allocator.length(seq_id) // self.page_size
+        n = min(target, limit) - cur
+        if n > 0:
+            self.allocator.pop_front(seq_id, n)
+            return n
+        return 0
 
     def extend(self, seq_id: int, new_len: int) -> bool:
         return self.allocator.extend(seq_id, new_len)
@@ -524,8 +554,11 @@ class LayeredPagedKVCache:
         if self.allocator.length(seq_id) < start + t:
             if not self.allocator.extend(seq_id, start + t):
                 raise MemoryError("KV pool exhausted during write")
-        max_pages = -(-(start + t) // self.page_size)
-        table, _ = self.allocator.page_table(seq_id, max_pages)
+        if start // self.page_size < self.allocator.base(seq_id):
+            raise ValueError(
+                f"write at {start} below evicted base "
+                f"({self.base_tokens(seq_id)})")
+        table = self._abs_table(seq_id, start + t)
         if self.quant_dtype is not None:
             if start % QUANT_BLOCK:
                 raise ValueError("quantized bulk writes must be "
@@ -553,21 +586,47 @@ class LayeredPagedKVCache:
         self.k_pools = _write_layered(self.k_pools, page_ids, offsets, ks)
         self.v_pools = _write_layered(self.v_pools, page_ids, offsets, vs)
 
+    def _abs_table(self, sid: int, end_tokens: int):
+        """Page table indexable by ABSOLUTE page number (front-evicted
+        entries poisoned with -1; callers only index >= base)."""
+        base = self.allocator.base(sid)
+        live = self.pages_for(end_tokens) - base
+        tbl, _ = self.allocator.page_table(sid, live)
+        if not base:
+            return tbl
+        out = np.full(base + live, -1, np.int32)
+        out[base:] = tbl
+        return out
+
     def batch_state(self, seq_ids, max_pages: int):
         """(page_tables [B, max_pages] int32, lengths [B] int32). Dead
-        slots (seq_id < 0) get length 0 and a scratch-page table."""
+        slots (seq_id < 0) get length 0 and a scratch-page table.
+
+        Both outputs are in STORED coordinates: a front-evicted
+        sequence's table starts at its first live page and its length
+        counts live paged tokens (absolute length minus base_tokens) —
+        exactly what the paged kernel masks against. Absolute positions
+        (for RoPE) = bases(seq_ids) + lengths (+ tail)."""
         tables = np.full((len(seq_ids), max_pages), self.scratch_page,
                          np.int32)
         lengths = np.zeros(len(seq_ids), np.int32)
         for i, sid in enumerate(seq_ids):
             if sid is None or sid < 0:
                 continue
-            lengths[i] = self.allocator.length(sid)
+            lengths[i] = (self.allocator.length(sid)
+                          - self.allocator.base(sid) * self.page_size)
             tbl, n = self.allocator.page_table(
                 sid, max_pages, fill=self.scratch_page
             )
             tables[i] = tbl
         return jnp.asarray(tables), jnp.asarray(lengths)
+
+    def bases(self, seq_ids):
+        """[B] int32 front-evicted TOKENS per slot (0 for dead)."""
+        return jnp.asarray([
+            0 if (sid is None or sid < 0)
+            else self.allocator.base(sid) * self.page_size
+            for sid in seq_ids], jnp.int32)
 
     def flush_tails(self, slot_sids, counts) -> None:
         """Move each slot's first counts[i] tail tokens into its pages
@@ -592,8 +651,7 @@ class LayeredPagedKVCache:
                 cows.append(cow)
             if not self.allocator.extend(sid, start + int(cnt)):
                 raise MemoryError("KV pool exhausted during tail flush")
-            table, _ = self.allocator.page_table(
-                sid, self.pages_for(start + int(cnt)))
+            table = self._abs_table(sid, start + int(cnt))
             pos = np.arange(start, start + int(cnt))
             pids[i * t: i * t + int(cnt)] = table[pos // self.page_size]
             offs[i * t: i * t + int(cnt)] = pos % self.page_size
@@ -639,8 +697,7 @@ class LayeredPagedKVCache:
             end = start + int(cnt)
             if not self.allocator.extend(sid, end):
                 raise MemoryError("KV pool exhausted during tail flush")
-            table, _ = self.allocator.page_table(
-                sid, self.pages_for(end))
+            table = self._abs_table(sid, end)
             g0, g1 = start // QUANT_BLOCK, (end - 1) // QUANT_BLOCK
             for j, g in enumerate(range(g0, g1 + 1)):
                 nidx = i * mb + j

@@ -36,8 +36,11 @@
 namespace {
 
 struct Sequence {
-  std::vector<int32_t> pages;
-  int32_t length = 0;     // tokens in use
+  std::vector<int32_t> pages;  // live pages: absolute page index
+                               // base_pages + i holds tokens
+                               // [(base_pages+i)*ps, ...)
+  int32_t length = 0;          // ABSOLUTE tokens (incl. evicted)
+  int32_t base_pages = 0;      // front pages evicted (sliding window)
   bool live = false;
 };
 
@@ -136,16 +139,20 @@ int32_t pa_num_free_pages(PagedAllocator* pa) {
 
 int32_t pa_page_size(PagedAllocator* pa) { return pa->page_size; }
 
-// Allocate a sequence slot with capacity for `tokens`. Returns seq_id or
-// -1 (no slot / not enough pages).
-int32_t pa_alloc_seq(PagedAllocator* pa, int32_t tokens) {
+// Allocate a sequence slot with capacity for `tokens`, the first
+// `base_pages` pages of which are ALREADY EVICTED (sliding-window
+// admission: only tokens [base_pages*page_size, tokens) get pages).
+// Returns seq_id or -1 (no slot / not enough pages / bad base).
+int32_t pa_alloc_seq_based(PagedAllocator* pa, int32_t tokens,
+                           int32_t base_pages) {
   std::lock_guard<std::mutex> l(pa->mu);
   int32_t sid = -1;
   for (size_t i = 0; i < pa->seqs.size(); ++i) {
     if (!pa->seqs[i].live) { sid = static_cast<int32_t>(i); break; }
   }
   if (sid < 0) return -1;
-  int32_t need = pa->pages_needed(tokens);
+  int32_t need = pa->pages_needed(tokens) - base_pages;
+  if (base_pages < 0 || need < 0) return -1;
   if (pa->available() < need) return -1;
   Sequence& s = pa->seqs[sid];
   s.pages.clear();
@@ -155,8 +162,43 @@ int32_t pa_alloc_seq(PagedAllocator* pa, int32_t tokens) {
     s.pages.push_back(p);
   }
   s.length = tokens;
+  s.base_pages = base_pages;
   s.live = true;
   return sid;
+}
+
+// Allocate a sequence slot with capacity for `tokens`. Returns seq_id or
+// -1 (no slot / not enough pages).
+int32_t pa_alloc_seq(PagedAllocator* pa, int32_t tokens) {
+  return pa_alloc_seq_based(pa, tokens, 0);
+}
+
+// Sliding-window eviction: release the FIRST n live pages of seq
+// (their tokens fell below the attention window and can never be read
+// again). Shared (forked/cached) pages just drop a ref. Returns the
+// new base_pages, or -1 on a bad seq / n out of range.
+int32_t pa_pop_front(PagedAllocator* pa, int32_t seq_id, int32_t n) {
+  std::lock_guard<std::mutex> l(pa->mu);
+  if (seq_id < 0 || seq_id >= static_cast<int32_t>(pa->seqs.size()))
+    return -1;
+  Sequence& s = pa->seqs[seq_id];
+  if (!s.live || n < 0 || n > static_cast<int32_t>(s.pages.size()))
+    return -1;
+  for (int32_t i = 0; i < n; ++i) {
+    int32_t p = s.pages[i];
+    if (--pa->refcount[p] == 0) pa->retire_page(p);
+  }
+  s.pages.erase(s.pages.begin(), s.pages.begin() + n);
+  s.base_pages += n;
+  return s.base_pages;
+}
+
+// Evicted-front size of seq, in PAGES. -1 on a bad seq.
+int32_t pa_seq_base(PagedAllocator* pa, int32_t seq_id) {
+  std::lock_guard<std::mutex> l(pa->mu);
+  if (seq_id < 0 || seq_id >= static_cast<int32_t>(pa->seqs.size()))
+    return -1;
+  return pa->seqs[seq_id].live ? pa->seqs[seq_id].base_pages : -1;
 }
 
 // Grow (or shrink bookkeeping of) a sequence to new_len tokens,
@@ -167,7 +209,7 @@ int32_t pa_extend(PagedAllocator* pa, int32_t seq_id, int32_t new_len) {
     return -1;
   Sequence& s = pa->seqs[seq_id];
   if (!s.live) return -1;
-  int32_t need = pa->pages_needed(new_len);
+  int32_t need = pa->pages_needed(new_len) - s.base_pages;
   int32_t have = static_cast<int32_t>(s.pages.size());
   if (need > have) {
     if (pa->available() < need - have) return -1;
@@ -198,6 +240,7 @@ int32_t pa_fork(PagedAllocator* pa, int32_t src_id) {
   Sequence& dst = pa->seqs[sid];
   dst.pages = src.pages;
   dst.length = src.length;
+  dst.base_pages = src.base_pages;
   dst.live = true;
   for (int32_t p : dst.pages) pa->refcount[p]++;
   return sid;
@@ -240,6 +283,7 @@ void pa_free_seq(PagedAllocator* pa, int32_t seq_id) {
   }
   s.pages.clear();
   s.length = 0;
+  s.base_pages = 0;
   s.live = false;
 }
 
@@ -266,6 +310,9 @@ int32_t pa_cache_put(PagedAllocator* pa, int32_t seq_id, int32_t n_pages,
   Sequence& s = pa->seqs[seq_id];
   if (!s.live || n_pages > static_cast<int32_t>(s.pages.size()))
     return -1;
+  // A front-evicted sequence's page i no longer holds prompt page i —
+  // content-addressed registration would be wrong.
+  if (s.base_pages != 0) return -1;
   int32_t added = 0;
   for (int32_t i = 0; i < n_pages; ++i) {
     uint64_t h = hashes[i];
@@ -334,6 +381,7 @@ int32_t pa_alloc_seq_prefixed(PagedAllocator* pa, int32_t tokens,
     s.pages.push_back(p);
   }
   s.length = tokens;
+  s.base_pages = 0;
   s.live = true;
   return sid;
 }

@@ -71,3 +71,21 @@ def test_sharded_engine_quantized_kv_parity(params, rng):
     got = run_engine(params, prompts, 6, kv_quant_dtype=jnp.int8,
                      mesh=mesh)
     assert got == want
+
+
+@pytest.mark.parametrize("wdtype", ["int4", jnp.int8])
+def test_sharded_engine_quantized_weights_parity(params, rng, wdtype):
+    """TP-sharded engine with QUANTIZED WEIGHT trees (int8 / packed
+    int4): expand_param_shardings lays the packed values and scales on
+    the same logical axes as the dense serving specs, and the sharded
+    engine's greedy transcript must exactly match the single-device
+    engine running the SAME quantized tree (BASELINE config 5's 70B
+    path runs int4 weights under tp; VERDICT r2 item 1)."""
+    from flash_attention_tpu.models.quantized import quantize_params
+
+    qparams = quantize_params(params, dtype=wdtype)
+    prompts = _prompts(rng)
+    want = run_engine(qparams, prompts, 6)
+    mesh = make_mesh(tp=2, dp=-1)
+    got = run_engine(qparams, prompts, 6, mesh=mesh)
+    assert got == want

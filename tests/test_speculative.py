@@ -120,15 +120,77 @@ def test_engine_speculative_matches_plain_greedy(params, rng):
     assert stats_r.spec_accepted > 0, "repetitive prompt must accept"
 
 
+def test_speculative_sample_preserves_distribution(rng):
+    """Monte Carlo: the rejection scheme's FIRST emitted token must be
+    distributed exactly like direct sampling from the (temp + top-p)
+    target — for drafts the model likes (high acceptance) and drafts it
+    doesn't (mostly rejected), including the nucleus filter."""
+    from flash_attention_tpu.models.sampling import (
+        apply_top_p, speculative_sample,
+    )
+
+    v, k, trials = 12, 3, 4000
+    logits = jnp.asarray(rng.normal(0, 1.5, (1, k + 1, v)), jnp.float32)
+    temps = jnp.asarray([0.8], jnp.float32)
+    top_ps = jnp.asarray([0.9], jnp.float32)
+
+    target = jax.nn.softmax(
+        apply_top_p(logits[:, 0] / temps[0], top_ps), axis=-1)[0]
+    run = jax.jit(lambda key, toks: speculative_sample(
+        logits, toks, temps, top_ps, key))
+
+    for draft_tok in (int(jnp.argmax(logits[0, 0])),   # liked draft
+                      int(jnp.argmin(logits[0, 0]))):  # disliked draft
+        toks = jnp.asarray([[0] + [draft_tok] * k], jnp.int32)
+        keys = jax.random.split(jax.random.PRNGKey(7), trials)
+        outs = jax.vmap(lambda kk: run(kk, toks)[0][0, 0])(keys)
+        counts = np.bincount(np.asarray(outs), minlength=v)
+        emp = counts / trials
+        tv = 0.5 * float(np.abs(emp - np.asarray(target)).sum())
+        assert tv < 0.05, (draft_tok, tv, emp, np.asarray(target))
+
+
+def test_speculative_sample_greedy_limit(rng):
+    """temps<=0 rows reproduce the argmax-equality acceptance exactly."""
+    from flash_attention_tpu.models.sampling import speculative_sample
+
+    v, k = 9, 3
+    logits = jnp.asarray(rng.normal(0, 1.0, (2, k + 1, v)), jnp.float32)
+    greedy = np.asarray(jnp.argmax(logits, axis=-1))
+    # Row 0: drafts follow greedy for 2 positions then diverge;
+    # row 1: first draft already wrong.
+    toks = np.zeros((2, k + 1), np.int32)
+    toks[0, 1] = greedy[0, 0]
+    toks[0, 2] = greedy[0, 1]
+    toks[0, 3] = (greedy[0, 2] + 1) % v
+    toks[1, 1] = (greedy[1, 0] + 1) % v
+    out, acc = speculative_sample(
+        logits, jnp.asarray(toks), jnp.zeros(2), jnp.zeros(2),
+        jax.random.PRNGKey(0))
+    out, acc = np.asarray(out), np.asarray(acc)
+    assert acc[0] == 2 and acc[1] == 0
+    assert list(out[0, :3]) == [greedy[0, 0], greedy[0, 1], greedy[0, 2]]
+    assert out[1, 0] == greedy[1, 0]
+
+
 @pytest.mark.slow
-def test_engine_speculative_rejects_sampling(params):
+def test_engine_speculative_sampled_requests(params, rng):
+    """temperature>0 requests now speculate (rejection sampling):
+    correct lengths, valid tokens, and drafts actually proposed."""
     from flash_attention_tpu.runtime.engine import Engine, Request
 
     eng = Engine(params, CFG, max_batch=2, num_pages=32, page_size=PAGE,
                  tail_size=16, speculative_k=3)
-    with pytest.raises(ValueError):
-        eng.run([Request(prompt=[1, 2, 3], max_new_tokens=4,
-                         temperature=0.7)])
+    reqs = [Request(prompt=list(np.tile([3, 1, 4, 1, 5], 6)),
+                    max_new_tokens=8, temperature=0.7, top_p=0.9),
+            Request(prompt=list(rng.integers(0, CFG.vocab_size, 17)),
+                    max_new_tokens=8)]
+    out = {c.request_id: c for c in eng.run(reqs)}
+    for r in reqs:
+        toks = out[r.request_id].tokens
+        assert len(toks) == 8
+        assert all(0 <= t < CFG.vocab_size for t in toks)
+    assert eng.stats.spec_proposed > 0
 
 
 @pytest.mark.slow

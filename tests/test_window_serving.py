@@ -81,12 +81,102 @@ def test_windowed_engine_matches_generate(params, rng):
 
 
 def test_windowed_engine_guards(params):
-    with pytest.raises(NotImplementedError):
-        Engine(params, CFG, max_batch=2, num_pages=16, page_size=128,
-               prefill_chunk=32)
-    with pytest.raises(NotImplementedError):
-        Engine(params, CFG, max_batch=2, num_pages=16, page_size=128,
-               speculative_k=2)
     with pytest.raises(ValueError):
         Engine(params, CFG, max_batch=2, num_pages=16, page_size=128,
                tail_size=128)   # window 96 <= tail
+
+
+def _serve(params, prompts, n_new, **kw):
+    eng = Engine(params, CFG, max_batch=4, num_pages=32, page_size=128,
+                 tail_size=16, **kw)
+    reqs = [Request(prompt=list(p), max_new_tokens=n_new)
+            for p in prompts]
+    by_id = {c.request_id: c for c in eng.run(reqs)}
+    return [by_id[r.request_id].tokens for r in reqs], eng
+
+
+@pytest.mark.slow
+def test_windowed_chunked_prefill_parity(params, rng):
+    """Windowed CHUNKED prefill (rolling-buffer path, round-3 feature)
+    must be transcript-identical to monolithic windowed prefill —
+    prompts deeper than the window so the rolling mask truly bites, and
+    two lengths so batched dispatch rows sit at different offsets."""
+    prompts = [list(rng.integers(0, CFG.vocab_size, 150)),
+               list(rng.integers(0, CFG.vocab_size, 41))]
+    want, _ = _serve(params, prompts, 8)
+    got, _ = _serve(params, prompts, 8, prefill_chunk=32)
+    assert got == want
+
+
+@pytest.mark.slow
+def test_windowed_speculative_parity(params, rng):
+    """Windowed + speculative (exact per-folded-query window starts in
+    the paged kernel): greedy transcripts equal plain windowed decode,
+    generating across the window boundary."""
+    prompts = [list(rng.integers(0, CFG.vocab_size, 90)),
+               list(np.tile([3, 1, 4, 1, 5], 24))]   # deep + repetitive
+    want, _ = _serve(params, prompts, 12)
+    got, eng = _serve(params, prompts, 12, speculative_k=3)
+    assert got == want
+    assert eng.stats.spec_proposed > 0
+
+
+@pytest.mark.slow
+def test_windowed_prefix_cache_seeds_prefill(params, rng):
+    """Windowed + prefix cache: a repeated long prompt's second serve
+    reuses cached pages to SEED the rolling prefill buffer (compute
+    saved, counted in prefix_cached_tokens) with unchanged output."""
+    prompt = list(rng.integers(0, CFG.vocab_size, 150))
+
+    def run_twice(**kw):
+        eng = Engine(params, CFG, max_batch=2, num_pages=32,
+                     page_size=128, tail_size=16, **kw)
+        outs = [eng.run([Request(prompt=list(prompt),
+                                 max_new_tokens=6)])[0].tokens
+                for _ in range(2)]
+        return outs, eng.stats
+
+    base, _ = run_twice()
+    got, stats = run_twice(prefill_chunk=32, prefix_cache=True)
+    assert got == base
+    assert stats.prefix_cached_tokens > 0
+
+
+@pytest.mark.slow
+def test_windowed_eviction_bounds_page_occupancy(params, rng):
+    """Below-window pages are reclaimed: a long generation holds
+    O(window) pages, freed pages get reused by later requests, and the
+    transcript is unaffected by eviction (vs a no-eviction round-2
+    baseline there is none — parity is vs generate())."""
+    prompt = list(rng.integers(0, CFG.vocab_size, 200))
+    eng = Engine(params, CFG, max_batch=1, num_pages=32, page_size=128,
+                 tail_size=16, prefill_chunk=32)
+    free0 = eng.cache.free_pages
+    got = eng.run([Request(prompt=list(prompt),
+                           max_new_tokens=80)])[0].tokens
+    # All pages returned after completion.
+    assert eng.cache.free_pages == free0
+    want = [int(x) for x in np.asarray(generate(
+        params, jnp.asarray([prompt], jnp.int32), CFG,
+        max_new_tokens=80)[0])]
+    assert got == want
+
+    # Mid-flight occupancy stays at the windowed peak, not O(context):
+    # peak pages = ceil((window + page + tail)/page) = 2 here, vs 3+
+    # for the full 280-token context.
+    eng2 = Engine(params, CFG, max_batch=1, num_pages=32, page_size=128,
+                  tail_size=16, prefill_chunk=32)
+    eng2.submit(Request(prompt=list(prompt), max_new_tokens=80))
+    peak_live = 0
+    while eng2.pending or eng2.prefilling or eng2.num_active:
+        eng2.step()
+        for s in eng2.slots:
+            if s is None:
+                continue
+            live = (eng2.cache.pages_for(
+                max(eng2.cache.length(s.seq_id), 1))
+                - eng2.cache.allocator.base(s.seq_id))
+            peak_live = max(peak_live, live)
+    assert peak_live <= eng2.cache.pages_for(
+        CFG.window + eng2.cache.page_size + eng2.cache.tail_size), \
+        peak_live
