@@ -322,9 +322,16 @@ def _mlp_block(layer, x, cfg, tp_axis=None):
         # Under TP serving the expert stacks are sharded over tp
         # (serving_param_shardings); tokens replicate and one psum
         # combines — see moe.moe_mlp expert_shard_axis.
-        from flash_attention_tpu.models.moe import moe_mlp
+        from flash_attention_tpu.models.moe import moe_mlp, moe_mlp_grouped
 
-        y, _ = moe_mlp(layer, x, cfg, expert_shard_axis=tp_axis)
+        if getattr(cfg, "routing", "capacity") == "dropless" \
+                and tp_axis is None:
+            # Serving fast path: sort-by-expert + grouped ragged matmul
+            # (ops/grouped.py); dispatch cost O(n log n) instead of the
+            # one-hot cubes, in-kernel dequant for quantized stacks.
+            y, _ = moe_mlp_grouped(layer, x, cfg)
+        else:
+            y, _ = moe_mlp(layer, x, cfg, expert_shard_axis=tp_axis)
         return y
     h = tp_copy(rmsnorm(x, layer["mlp_norm"], cfg.norm_eps), tp_axis)
     gate = _mm("btd,df->btf", h, layer["w_gate"])

@@ -51,6 +51,13 @@ class MoEConfig(LlamaConfig):
     capacity_factor: float = 1.25
     load_balance_coef: float = 1e-2
     router_z_coef: float = 1e-3
+    # "capacity": GShard capacity routing through dense one-hot
+    # dispatch/combine einsums (training path: everything is a plain
+    # differentiable einsum). "dropless": sort-by-expert + grouped
+    # ragged matmul (ops/grouped.py) — the serving path; dispatch cost
+    # O(n log n + n·d) instead of the one-hot cubes' O(n·E·C·d), no
+    # token drops, quantized expert stacks fuse dequant in-kernel.
+    routing: str = "capacity"
 
     @staticmethod
     def tiny_moe(**kw) -> "MoEConfig":
@@ -234,15 +241,98 @@ def moe_mlp(layer, x, cfg: MoEConfig, ep_axis=None,
         # slots for its local experts.
         xs = jax.lax.all_to_all(
             xs, ep_axis, split_axis=0, concat_axis=1, tiled=True)
-    g = jnp.einsum("ecd,edf->ecf", xs, layer["w_gate"])
-    u = jnp.einsum("ecd,edf->ecf", xs, layer["w_up"])
-    ys = jnp.einsum("ecf,efd->ecd", jax.nn.silu(g) * u, layer["w_down"])
+    g = _expert_stack_mm(xs, layer["w_gate"])
+    u = _expert_stack_mm(xs, layer["w_up"])
+    ys = _expert_stack_mm(jax.nn.silu(g) * u, layer["w_down"])
     if ep_axis is not None:
         ys = jax.lax.all_to_all(
             ys, ep_axis, split_axis=1, concat_axis=0, tiled=True)
     y = jnp.einsum("nec,ecd->nd", combine, ys)
     if expert_shard_axis is not None:
         y = jax.lax.psum(y, expert_shard_axis)
+    return y.reshape(b, t, d), aux
+
+
+def route_topk(logits, top_k: int):
+    """Dropless top-k routing: full-softmax probabilities, keep the
+    top-k experts per token, renormalize the kept gates. Matches the
+    capacity path's combine weights exactly whenever nothing drops
+    (route_tokens renormalizes over kept choices with the same
+    denominator). Returns (gates [n, k] f32, experts [n, k] int32)."""
+    probs = jax.nn.softmax(logits, axis=-1)
+    gates, experts = jax.lax.top_k(probs, top_k)
+    gates = gates / jnp.sum(gates, axis=-1, keepdims=True)
+    return gates, experts.astype(jnp.int32)
+
+
+def _expert_stack_mm(xs, w, group_sizes=None):
+    """Expert matmul dispatch. Capacity path (group_sizes None):
+    xs [E, C, d] batched against the stack. Grouped path: xs [M, d]
+    expert-sorted rows through the ragged Pallas kernels
+    (ops/grouped.py) with in-kernel dequant for quantized stacks."""
+    from flash_attention_tpu.models.quantized import (
+        Int4ExpertStack,
+        QuantizedExpertStack,
+    )
+
+    if group_sizes is None:
+        if isinstance(w, (QuantizedExpertStack, Int4ExpertStack)):
+            w = w.dequant(xs.dtype)
+        return jnp.einsum("ecd,edf->ecf", xs, w)
+    from flash_attention_tpu.ops.grouped import (
+        grouped_int4_matmul,
+        grouped_matmul,
+        grouped_quant_matmul,
+    )
+
+    if isinstance(w, Int4ExpertStack):
+        return grouped_int4_matmul(xs, group_sizes, w.packed, w.scales)
+    if isinstance(w, QuantizedExpertStack):
+        return grouped_quant_matmul(xs, group_sizes, w.q, w.scale)
+    return grouped_matmul(xs, group_sizes, w)
+
+
+def moe_mlp_grouped(layer, x, cfg: MoEConfig):
+    """Dropless expert MLP via sort-by-expert + grouped ragged matmul
+    (the serving path; cfg.routing == "dropless").
+
+    x: [B, T, d]. Returns (y, aux) like moe_mlp. No capacity, no token
+    drops: every top-k assignment computes. The one-hot [n, E, C]
+    dispatch/combine cubes (O(n·E·C·d) MXU work, quadratic in sequence
+    length) are replaced by one argsort over n·k int32 keys plus
+    gather/gather — the combine is a GATHER through the inverse
+    permutation, not a scatter (TPU-friendly).
+    """
+    b, t, d = x.shape
+    n = b * t
+    k = cfg.top_k
+    h = rmsnorm(x, layer["mlp_norm"], cfg.norm_eps)
+    flat = h.reshape(n, d)
+    logits = flat.astype(jnp.float32) @ layer["router"]
+    gates, experts = route_topk(logits, k)
+
+    flat_e = experts.reshape(-1)                       # [n*k]
+    perm = jnp.argsort(flat_e)                         # sorted pos <- flat
+    xs = jnp.take(flat, perm // k, axis=0)             # [n*k, d] sorted
+    group_sizes = jnp.bincount(flat_e, length=cfg.n_experts)
+
+    g = _expert_stack_mm(xs, layer["w_gate"], group_sizes)
+    u = _expert_stack_mm(xs, layer["w_up"], group_sizes)
+    a = jax.nn.silu(g) * u
+    yd = _expert_stack_mm(a.astype(flat.dtype), layer["w_down"],
+                          group_sizes)                 # [n*k, d]
+
+    inv = jnp.argsort(perm)                            # flat -> sorted pos
+    ys = jnp.take(yd, inv.reshape(n, k), axis=0)       # [n, k, d]
+    y = jnp.sum(ys * gates.astype(ys.dtype)[..., None], axis=1)
+    probs = jax.nn.softmax(logits, axis=-1)
+    aux = {
+        "load_balance": cfg.n_experts * jnp.sum(
+            jnp.mean(jax.nn.one_hot(experts[:, 0], cfg.n_experts), axis=0)
+            * jnp.mean(probs, axis=0)),
+        "router_z": jnp.mean(jax.nn.logsumexp(logits, axis=-1) ** 2),
+        "dropped_frac": jnp.zeros((), jnp.float32),
+    }
     return y.reshape(b, t, d), aux
 
 
@@ -258,7 +348,10 @@ def moe_forward(params, tokens, cfg: MoEConfig, *, positions=None,
     def layer_fn(x, layer):
         a, _ = _attention_block(layer, x, cfg, positions)
         x = x + a
-        y, aux = moe_mlp(layer, x, cfg, ep_axis=ep_axis)
+        if cfg.routing == "dropless" and ep_axis is None:
+            y, aux = moe_mlp_grouped(layer, x, cfg)
+        else:
+            y, aux = moe_mlp(layer, x, cfg, ep_axis=ep_axis)
         return x + y, aux
 
     if remat:

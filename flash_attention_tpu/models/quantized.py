@@ -156,6 +156,124 @@ class Int4Weight:
         return _weight_einsum(self, spec, x)
 
 
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class QuantizedExpertStack:
+    """Per-expert int8/fp8 weight stack: q [E, K, F] + per-(expert,
+    out-channel) scales [E, F]. The grouped serving path
+    (ops/grouped.py grouped_quant_matmul) fuses dequant in-kernel; the
+    capacity path dequantizes per use (prefill/training, MXU-bound)."""
+
+    q: jax.Array
+    scale: jax.Array
+
+    def tree_flatten(self):
+        return (self.q, self.scale), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    @property
+    def shape(self):
+        return self.q.shape
+
+    @property
+    def orig_shape(self):
+        return tuple(self.q.shape)
+
+    @property
+    def nbytes(self) -> int:
+        return self.q.size + self.scale.size * 4
+
+    def dequant(self, dtype=jnp.bfloat16):
+        from flash_attention_tpu.ops.quant import tile_to_f32
+
+        return (tile_to_f32(self.q)
+                * self.scale[:, None, :]).astype(dtype)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class Int4ExpertStack:
+    """Per-expert packed-int4 stack: packed [E, K/2, F] row-pair
+    nibbles + group-wise scales [E, K/INT4_GROUP, F] (the
+    ops/quant_matmul.py int4 layout, stacked over experts)."""
+
+    packed: jax.Array
+    scales: jax.Array
+    logical_k: int
+
+    def tree_flatten(self):
+        return (self.packed, self.scales), (self.logical_k,)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], children[1], aux[0])
+
+    @property
+    def orig_shape(self):
+        e, _, f = self.packed.shape
+        return (e, self.logical_k, f)
+
+    @property
+    def nbytes(self) -> int:
+        return self.packed.size + self.scales.size * 4
+
+    def dequant(self, dtype=jnp.bfloat16):
+        u = self.packed.view(jnp.uint8).astype(jnp.int32)
+        lo = ((u & 0xF) ^ 8) - 8
+        hi = (((u >> 4) & 0xF) ^ 8) - 8
+        e, kp2, f = u.shape
+        q = jnp.stack([lo, hi], axis=2).reshape(e, 2 * kp2, f)
+        w = (q.astype(jnp.float32).reshape(e, -1, INT4_GROUP, f)
+             * self.scales[:, :, None, :]).reshape(e, 2 * kp2, f)
+        return w.astype(dtype)
+
+
+def quantize_expert_stack(w, dtype=jnp.int8):
+    """Quantize an [E, K, F] expert weight stack (contraction = middle
+    dim). int8/fp8 -> QuantizedExpertStack; "int4" -> Int4ExpertStack."""
+    w = np.asarray(w, np.float32)
+    e, k, f = w.shape
+    if dtype == "int4":
+        packed, scales = zip(*(quantize_weight_int4(w[i])
+                               for i in range(e)))
+        return Int4ExpertStack(
+            packed=jnp.stack(packed), scales=jnp.stack(scales),
+            logical_k=k)
+    qs, ss = zip(*(quantize_weight(w[i], dtype=dtype) for i in range(e)))
+    return QuantizedExpertStack(q=jnp.stack(qs), scale=jnp.stack(ss))
+
+
+_EXPERT_STACK_KEYS = ("w_gate", "w_up", "w_down")
+
+
+def quantize_moe_params(params: dict, *, quantize_lm_head: bool = True,
+                        dtype=jnp.int8) -> dict:
+    """Weight-only quantization of a MoE param tree (models/moe.py
+    init_moe_params): attention projections quantize like the dense
+    family, expert stacks become per-expert quantized stacks, the
+    router stays fp32 (tiny; gate ordering is precision-sensitive)."""
+    out = dict(params)
+    layers = []
+    for layer in params["layers"]:
+        ql = {}
+        for name, w in layer.items():
+            if name in _EXPERT_STACK_KEYS:
+                ql[name] = quantize_expert_stack(w, dtype=dtype)
+            elif name in _LAYER_SPECS:
+                ql[name] = quantize_tensor(w, _LAYER_SPECS[name],
+                                           dtype=dtype)
+            else:
+                ql[name] = w
+        layers.append(ql)
+    out["layers"] = layers
+    if quantize_lm_head:
+        out["lm_head"] = quantize_tensor(params["lm_head"], 1, dtype=dtype)
+    return out
+
+
 def quantize_tensor(w, n_contract: int,
                     dtype=jnp.int8) -> QuantizedWeight:
     """Quantize a weight whose first n_contract dims are contracted."""
@@ -273,11 +391,93 @@ def init_quantized_params(cfg, key, dtype=jnp.int8) -> dict:
     }
 
 
+def init_quantized_moe_params(cfg, key, dtype="int4") -> dict:
+    """Direct on-device quantized init of a MoE param tree (the
+    init_quantized_params analog for models/moe.py layouts): Mixtral
+    -class expert stacks at bf16 are ~93 GB — far beyond one chip or
+    this host's RAM, so stacks initialize directly as packed values +
+    constant scales with dequantized std ~ 1/sqrt(fan_in). Router stays
+    dense fp32 (tiny; gate ordering is precision-sensitive)."""
+    from flash_attention_tpu.ops.quant import _QMAX
+
+    d, hd, f, e = cfg.dim, cfg.head_dim, cfg.ffn_dim, cfg.n_experts
+    if dtype != "int4":
+        dtype = jnp.dtype(dtype)
+        qmax = _QMAX[dtype]
+    keys = jax.random.split(key, 4 + cfg.n_layers)
+
+    def dense(k, shape, fan_in):
+        return (jax.random.normal(k, shape, jnp.float32) /
+                np.sqrt(fan_in)).astype(cfg.dtype)
+
+    def qdense(k, shape, fan_in, n_contract):
+        kk = int(np.prod(shape[:n_contract]))
+        fo = int(np.prod(shape[n_contract:]))
+        if dtype == "int4":
+            packed = jax.random.randint(
+                k, (kk // 2, fo), 0, 256, jnp.int32
+            ).astype(jnp.uint8).view(jnp.int8)
+            scales = jnp.full((kk // INT4_GROUP, fo),
+                              1.0 / (4.64 * np.sqrt(fan_in)), jnp.float32)
+            return Int4Weight(packed=packed, scales=scales,
+                              orig_shape=tuple(shape),
+                              n_contract=n_contract)
+        q = jax.random.randint(k, (kk, fo), -127, 128, jnp.int8)
+        scale = jnp.full((fo,), np.sqrt(3.0) / (127.0 * np.sqrt(fan_in)),
+                         jnp.float32)
+        return QuantizedWeight(q=q, scale=scale, orig_shape=tuple(shape),
+                               n_contract=n_contract)
+
+    def qstack(k, kdim, fdim, fan_in):
+        if dtype == "int4":
+            packed = jax.random.randint(
+                k, (e, kdim // 2, fdim), 0, 256, jnp.int32
+            ).astype(jnp.uint8).view(jnp.int8)
+            scales = jnp.full((e, kdim // INT4_GROUP, fdim),
+                              1.0 / (4.64 * np.sqrt(fan_in)), jnp.float32)
+            return Int4ExpertStack(packed=packed, scales=scales,
+                                   logical_k=kdim)
+        q = jax.random.randint(k, (e, kdim, fdim), -127, 128, jnp.int8)
+        scale = jnp.full((e, fdim),
+                         np.sqrt(3.0) / (127.0 * np.sqrt(fan_in)),
+                         jnp.float32)
+        return QuantizedExpertStack(q=q, scale=scale)
+
+    layers = []
+    for i in range(cfg.n_layers):
+        lk = jax.random.split(keys[4 + i], 8)
+        layers.append({
+            "attn_norm": jnp.ones((d,), cfg.dtype),
+            "wq": qdense(lk[0], (d, cfg.n_heads, hd), d, 1),
+            "wk": qdense(lk[1], (d, cfg.n_kv_heads, hd), d, 1),
+            "wv": qdense(lk[2], (d, cfg.n_kv_heads, hd), d, 1),
+            "wo": qdense(lk[3], (cfg.n_heads, hd, d),
+                         cfg.n_heads * hd, 2),
+            "mlp_norm": jnp.ones((d,), cfg.dtype),
+            "router": jax.random.normal(lk[4], (d, e), jnp.float32)
+            / np.sqrt(d),
+            "w_gate": qstack(lk[5], d, f, d),
+            "w_up": qstack(lk[6], d, f, d),
+            "w_down": qstack(lk[7], f, d, f),
+        })
+    return {
+        "embed": dense(keys[0], (cfg.vocab_size, d), d),
+        "layers": layers,
+        "final_norm": jnp.ones((d,), cfg.dtype),
+        "lm_head": qdense(keys[1], (d, cfg.vocab_size), d, 1),
+    }
+
+
+def _quant_leaf_types():
+    return (QuantizedWeight, Int4Weight,
+            QuantizedExpertStack, Int4ExpertStack)
+
+
 def params_nbytes(params) -> int:
     return sum(
         leaf.nbytes if hasattr(leaf, "nbytes") else 0
         for leaf in jax.tree.leaves(
-            params, is_leaf=lambda x: isinstance(x, QuantizedWeight))
+            params, is_leaf=lambda x: isinstance(x, _quant_leaf_types()))
     )
 
 
@@ -331,8 +531,8 @@ def logical_param_count(params) -> int:
     total = 0
     for leaf in jax.tree.leaves(
             params,
-            is_leaf=lambda x: isinstance(x, (QuantizedWeight, Int4Weight))):
-        if isinstance(leaf, (QuantizedWeight, Int4Weight)):
+            is_leaf=lambda x: isinstance(x, _quant_leaf_types())):
+        if isinstance(leaf, _quant_leaf_types()):
             total += int(np.prod(leaf.orig_shape))
         else:
             total += leaf.size
