@@ -322,19 +322,44 @@ def cmd_decode_bench(args):
         from flash_attention_tpu.models.llama import (
             LlamaConfig, decode_step_paged, init_params,
         )
-        cfg = getattr(LlamaConfig, _PRESETS[args.model])(dtype=jnp.bfloat16)
-        if args.weight_quant:
-            # Direct on-device quantized init: a bf16 8B tree would OOM
-            # the chip before host-side quantization could run.
-            from flash_attention_tpu.models.quantized import (
-                init_quantized_params,
-            )
-            wdt = {"int8": jnp.int8, "int4": "int4",
-                   "fp8": jnp.float8_e4m3fn}[args.weight_quant]
-            params = init_quantized_params(
-                cfg, jax.random.PRNGKey(0), dtype=wdt)
+        overrides = {}
+        if getattr(args, "model_layers", None):
+            overrides["n_layers"] = args.model_layers
+        if args.model == "mixtral":
+            # Mixtral-8x7B-class MoE decode through the SAME paged loop
+            # (_mlp_block dispatches on the router key). Dropless
+            # grouped expert path; int4 experts are the only single
+            # -chip-feasible config (46.7B params — see SERVING.md).
+            from flash_attention_tpu.models.moe import MoEConfig
+
+            cfg = MoEConfig.mixtral_8x7b(
+                dtype=jnp.bfloat16, routing="dropless", **overrides)
+            if args.weight_quant:
+                from flash_attention_tpu.models.quantized import (
+                    init_quantized_moe_params,
+                )
+                wdt = {"int8": jnp.int8, "int4": "int4",
+                       "fp8": jnp.float8_e4m3fn}[args.weight_quant]
+                params = init_quantized_moe_params(
+                    cfg, jax.random.PRNGKey(0), dtype=wdt)
+            else:
+                from flash_attention_tpu.models.moe import init_moe_params
+                params = init_moe_params(cfg, jax.random.PRNGKey(0))
         else:
-            params = init_params(cfg, jax.random.PRNGKey(0))
+            cfg = getattr(LlamaConfig, _PRESETS[args.model])(
+                dtype=jnp.bfloat16, **overrides)
+            if args.weight_quant:
+                # Direct on-device quantized init: a bf16 8B tree would
+                # OOM the chip before host-side quantization could run.
+                from flash_attention_tpu.models.quantized import (
+                    init_quantized_params,
+                )
+                wdt = {"int8": jnp.int8, "int4": "int4",
+                       "fp8": jnp.float8_e4m3fn}[args.weight_quant]
+                params = init_quantized_params(
+                    cfg, jax.random.PRNGKey(0), dtype=wdt)
+            else:
+                params = init_params(cfg, jax.random.PRNGKey(0))
         bm, ctxm = args.model_batch, args.model_context
         mp = -(-ctxm // ps)
         npg = max(bm * mp, 1) + 1
@@ -419,6 +444,66 @@ def cmd_decode_bench(args):
               f"batch={bm} context~{ctxm} steps={steps}")
         print(f"  {best / steps * 1e3:8.3f} ms/step  "
               f"{bm * steps / best:8.0f} tok/s/chip")
+    return 0
+
+
+def cmd_moe_bench(args):
+    """MoE expert-MLP throughput: capacity-routed one-hot dispatch vs
+    the grouped (dropless, sort-by-expert) path, dense and quantized
+    expert stacks, at Mixtral-8x7B layer shapes. The one-hot
+    dispatch/combine cubes cost O(n·E·C·d) MXU work (quadratic in
+    tokens); the grouped path replaces them with one argsort + ragged
+    Pallas matmuls (ops/grouped.py)."""
+    import jax
+    import jax.numpy as jnp
+    from flash_attention_tpu.models.moe import (
+        MoEConfig, init_moe_params, moe_mlp, moe_mlp_grouped,
+    )
+    from flash_attention_tpu.models.quantized import quantize_moe_params
+    from flash_attention_tpu.utils.bench import measure
+
+    dev = jax.devices()[0]
+    print(f"Device: {dev.device_kind} ({dev.platform})")
+    cfg = MoEConfig.mixtral_8x7b(
+        n_layers=1, dim=args.dim, ffn_dim=args.ffn_dim,
+        n_experts=args.experts, top_k=args.top_k, dtype=jnp.bfloat16)
+    print(f"moe-bench: E={cfg.n_experts} top_k={cfg.top_k} "
+          f"d={cfg.dim} ffn={cfg.ffn_dim} (Mixtral-8x7B layer shapes)")
+    params = init_moe_params(cfg, jax.random.PRNGKey(0))
+    layer = params["layers"][0]
+    qlayers = {
+        wq: quantize_moe_params(params, dtype={"int8": jnp.int8,
+                                               "int4": "int4"}[wq],
+                                quantize_lm_head=False)["layers"][0]
+        for wq in args.weight_quants
+    }
+    rng = np.random.default_rng(42)
+
+    # Active-FLOPs model: top_k expert SwiGLUs per token (2 m·k·f per
+    # matmul, 3 matmuls), the convention the grouped path achieves
+    # exactly; the one-hot path additionally burns dispatch/combine.
+    def mlp_flops(n):
+        return 2 * 3 * n * cfg.top_k * cfg.dim * cfg.ffn_dim
+
+    for n in args.tokens:
+        x = jnp.asarray(rng.normal(0, 0.5, (1, n, cfg.dim)), jnp.bfloat16)
+        onehot = jax.jit(lambda x, l: moe_mlp(l, x, cfg)[0])
+        grouped = jax.jit(lambda x, l: moe_mlp_grouped(l, x, cfg)[0])
+        t1 = measure(onehot, x, layer, warmup=args.warmup,
+                     iters=args.iters)
+        t2 = measure(grouped, x, layer, warmup=args.warmup,
+                     iters=args.iters)
+        fl = mlp_flops(n)
+        print(f"  n={n:6d}  one-hot {t1.mean_ms:8.3f} ms "
+              f"({fl / t1.mean_s / 1e12:6.2f} TF/s active)   "
+              f"grouped {t2.mean_ms:8.3f} ms "
+              f"({fl / t2.mean_s / 1e12:6.2f} TF/s active)   "
+              f"speedup {t1.mean_ms / t2.mean_ms:5.2f}x")
+        for wq, ql in qlayers.items():
+            tq = measure(grouped, x, ql, warmup=args.warmup,
+                         iters=args.iters)
+            print(f"  n={n:6d}  grouped[{wq}] {tq.mean_ms:8.3f} ms "
+                  f"({fl / tq.mean_s / 1e12:6.2f} TF/s active)")
     return 0
 
 
@@ -741,7 +826,10 @@ def main(argv=None):
     pd.add_argument("--kv-dtype", default="bfloat16",
                     choices=["bfloat16", "int8", "fp8", "fp8_e5m2"])
     pd.add_argument("--model", default=None,
-                    choices=[None, "tiny", "1b", "8b"])
+                    choices=[None, "tiny", "1b", "8b", "mixtral"])
+    pd.add_argument("--model-layers", type=int, default=None,
+                    help="override n_layers (bench-what-fits for "
+                         "capacity-limited models, e.g. mixtral)")
     pd.add_argument("--model-batch", type=int, default=32)
     pd.add_argument("--model-context", type=int, default=2048)
     pd.add_argument("--model-steps", type=int, default=32)
@@ -752,6 +840,21 @@ def main(argv=None):
     pd.add_argument("--warmup", type=int, default=3)
     pd.add_argument("--iters", type=int, default=10)
     pd.set_defaults(fn=cmd_decode_bench)
+
+    pmo = sub.add_parser("moe-bench",
+                         help="grouped vs one-hot expert MLP throughput")
+    pmo.add_argument("--dim", type=int, default=4096)
+    pmo.add_argument("--ffn-dim", type=int, default=14336)
+    pmo.add_argument("--experts", type=int, default=8)
+    pmo.add_argument("--top-k", type=int, default=2)
+    pmo.add_argument("--tokens", type=int, nargs="+",
+                     default=[2048, 8192])
+    pmo.add_argument("--weight-quants", nargs="*",
+                     default=["int8", "int4"],
+                     choices=["int8", "int4"])
+    pmo.add_argument("--warmup", type=int, default=2)
+    pmo.add_argument("--iters", type=int, default=5)
+    pmo.set_defaults(fn=cmd_moe_bench)
 
     pt = sub.add_parser("train-bench",
                         help="train-step tokens/s + MFU on one chip")

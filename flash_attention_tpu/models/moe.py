@@ -67,10 +67,14 @@ class MoEConfig(LlamaConfig):
 
     @staticmethod
     def mixtral_8x7b(**kw) -> "MoEConfig":
-        """Mixtral-8x7B-class shapes (8 experts, top-2)."""
-        return MoEConfig(
+        """Mixtral-8x7B-class shapes (8 experts, top-2). Any field may
+        be overridden (n_layers=16 is the bench-what-fits single-chip
+        int4 config, docs/SERVING.md)."""
+        base = dict(
             vocab_size=32000, dim=4096, n_layers=32, n_heads=32,
-            n_kv_heads=8, ffn_dim=14336, n_experts=8, top_k=2, **kw)
+            n_kv_heads=8, ffn_dim=14336, n_experts=8, top_k=2)
+        base.update(kw)
+        return MoEConfig(**base)
 
 
 def expert_capacity(n_tokens: int, cfg: MoEConfig) -> int:

@@ -233,17 +233,35 @@ class Int4ExpertStack:
 
 def quantize_expert_stack(w, dtype=jnp.int8):
     """Quantize an [E, K, F] expert weight stack (contraction = middle
-    dim). int8/fp8 -> QuantizedExpertStack; "int4" -> Int4ExpertStack."""
-    w = np.asarray(w, np.float32)
+    dim). int8/fp8 -> QuantizedExpertStack; "int4" -> Int4ExpertStack.
+
+    Runs ON DEVICE (jnp, vectorized over experts): a Mixtral-class
+    stack is ~1.9 GB fp32 — round-tripping it through host numpy costs
+    minutes over a tunneled transport."""
+    w = jnp.asarray(w, jnp.float32)
     e, k, f = w.shape
     if dtype == "int4":
-        packed, scales = zip(*(quantize_weight_int4(w[i])
-                               for i in range(e)))
-        return Int4ExpertStack(
-            packed=jnp.stack(packed), scales=jnp.stack(scales),
-            logical_k=k)
-    qs, ss = zip(*(quantize_weight(w[i], dtype=dtype) for i in range(e)))
-    return QuantizedExpertStack(q=jnp.stack(qs), scale=jnp.stack(ss))
+        if k % INT4_GROUP:
+            raise ValueError(f"K={k} must be a multiple of {INT4_GROUP}")
+        g = w.reshape(e, k // INT4_GROUP, INT4_GROUP, f)
+        scale = jnp.maximum(jnp.max(jnp.abs(g), axis=2) / 7.0, 1e-12)
+        q = jnp.clip(jnp.round(g / scale[:, :, None, :]), -7, 7
+                     ).astype(jnp.int32).reshape(e, k, f)
+        lo = q[:, 0::2] & 0xF
+        hi = q[:, 1::2] & 0xF
+        packed = ((hi << 4) | lo).astype(jnp.uint8).view(jnp.int8)
+        return Int4ExpertStack(packed=packed, scales=scale, logical_k=k)
+    dtype = jnp.dtype(dtype)
+    from flash_attention_tpu.ops.quant import _QMAX
+    qmax = _QMAX[dtype]
+    absmax = jnp.max(jnp.abs(w), axis=1)                  # [E, F]
+    scale = jnp.maximum(absmax / qmax, 1e-12)
+    q = w / scale[:, None, :]
+    if dtype == jnp.dtype(jnp.int8):
+        q = jnp.clip(jnp.round(q), -qmax, qmax)
+    else:
+        q = jnp.clip(q, -qmax, qmax)
+    return QuantizedExpertStack(q=q.astype(dtype), scale=scale)
 
 
 _EXPERT_STACK_KEYS = ("w_gate", "w_up", "w_down")

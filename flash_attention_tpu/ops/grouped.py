@@ -52,6 +52,7 @@ from jax.experimental.pallas import tpu as pltpu
 from flash_attention_tpu.config import (
     LANES,
     SUBLANES,
+    VMEM_LIMIT_BYTES,
     cdiv,
     interpret_default,
     round_up,
@@ -294,6 +295,7 @@ def _grouped_call(x_parts, w, scales, offsets, *, quant, out_dtype,
         out_shape=jax.ShapeDtypeStruct((mp, fp), out_dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+            vmem_limit_bytes=VMEM_LIMIT_BYTES,
         ),
         interpret=interpret,
     )(offsets, plan, *inputs)
@@ -315,7 +317,7 @@ def _offsets(group_sizes, base=None):
     static_argnames=("block_m", "block_f", "block_k", "interpret"),
 )
 def grouped_matmul(x, group_sizes, w, *, base=None, block_m=512,
-                   block_f=1024, block_k=512, interpret=None):
+                   block_f=2048, block_k=1024, interpret=None):
     """y[i] = x[i] @ w[g(i)] for rows sorted by group.
 
     x: [M, K] (rows of group g contiguous, groups in ascending order;
@@ -339,7 +341,7 @@ def grouped_matmul(x, group_sizes, w, *, base=None, block_m=512,
     static_argnames=("block_m", "block_f", "block_k", "interpret"),
 )
 def grouped_quant_matmul(x, group_sizes, w_q, w_scale, *, base=None,
-                         block_m=512, block_f=1024, block_k=512,
+                         block_m=512, block_f=2048, block_k=1024,
                          interpret=None):
     """Grouped matmul with int8/fp8 expert stacks: w_q [E, K, F],
     w_scale [E, F] per-(expert, out-channel). Dequant fused in-loop."""
@@ -360,7 +362,7 @@ def grouped_quant_matmul(x, group_sizes, w_q, w_scale, *, base=None,
     static_argnames=("block_m", "block_f", "block_k", "interpret"),
 )
 def grouped_int4_matmul(x, group_sizes, w_packed, w_scales, *, base=None,
-                        block_m=512, block_f=1024, block_k=512,
+                        block_m=512, block_f=2048, block_k=512,
                         interpret=None):
     """Grouped matmul with packed-int4 expert stacks: w_packed
     [E, K/2, F] row-pair nibbles, w_scales [E, K/INT4_GROUP, F]

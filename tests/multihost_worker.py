@@ -99,6 +99,25 @@ def main(out_path: str) -> None:
     dt = time.perf_counter() - t0
     transcript = [first] + list(np.asarray(jax.device_get(toks)))
 
+    # Measured cross-process collective cost: a tiny all-reduce across
+    # every device (gloo over loopback here; DCN on a real pod). This
+    # is the latency input of the analytic scaling model
+    # (parallel/scaling.py; REPORT "Multi-host decode scaling model").
+    # Whole-dispatch time, so an UPPER bound on the collective itself.
+    ps_fn = jax.jit(jax.shard_map(
+        lambda x: jax.lax.psum(x, ("dp", "tp")), mesh=mesh,
+        in_specs=P(("dp", "tp")), out_specs=P()))
+    xps = jax.device_put(
+        jnp.ones((jax.device_count(), 8), jnp.float32),
+        NamedSharding(mesh, P(("dp", "tp"))))
+    jax.block_until_ready(ps_fn(xps))
+    n_it = 20
+    t0 = time.perf_counter()
+    for _ in range(n_it):
+        out = ps_fn(xps)
+    jax.block_until_ready(out)
+    psum_us = (time.perf_counter() - t0) / n_it * 1e6
+
     if jax.process_index() == 0:
         with open(out_path, "w") as f:
             json.dump({
@@ -107,6 +126,7 @@ def main(out_path: str) -> None:
                 "batch": batch,
                 "decode_steps": DECODE_STEPS,
                 "tokens_per_s": batch * DECODE_STEPS / dt,
+                "psum_us": psum_us,
                 "transcript": np.stack(transcript).T.tolist(),
             }, f)
     print(f"proc {jax.process_index()}/{nproc}: "
