@@ -247,7 +247,8 @@ def cmd_max_batch(args):
 
 
 _PRESETS = {
-    "tiny": "tiny", "1b": "llama3_1b", "8b": "llama3_8b", "70b": "llama3_70b",
+    "tiny": "tiny", "1b": "llama3_1b", "8b": "llama3_8b",
+    "70b": "llama3_70b", "mistral": "mistral_7b",
 }
 
 
@@ -647,7 +648,11 @@ def cmd_serve_bench(args):
         Engine, EngineStats, Request,
     )
 
-    cfg = getattr(LlamaConfig, _PRESETS[args.model])(dtype=jnp.bfloat16)
+    overrides = {}
+    if getattr(args, "model_layers", None):
+        overrides["n_layers"] = args.model_layers
+    cfg = getattr(LlamaConfig, _PRESETS[args.model])(
+        dtype=jnp.bfloat16, **overrides)
     if args.weight_quant:
         from flash_attention_tpu.models.quantized import (
             init_quantized_params,
@@ -755,6 +760,10 @@ def cmd_serve_bench(args):
               f"p90 {pct['p90'] * 1e3:.0f} ms  "
               f"p99 {pct['p99'] * 1e3:.0f} ms  "
               f"({len(s.ttft_s)} requests)")
+    win = f", window={cfg.window}" if cfg.window else ""
+    print(f"  pages: peak {eng.stats.peak_pages} of {args.num_pages} "
+          f"in use ({eng.stats.peak_pages * args.page_size} tokens"
+          f"{win})")
     return 0
 
 
@@ -872,7 +881,10 @@ def main(argv=None):
 
     ps_ = sub.add_parser("serve-bench", help="engine end-to-end tokens/s")
     ps_.add_argument("--model", default="1b",
-                     choices=["tiny", "1b", "8b"])
+                     choices=["tiny", "1b", "8b", "mistral"])
+    ps_.add_argument("--model-layers", type=int, default=None,
+                     help="override n_layers (reduced-depth artifact "
+                          "configs)")
     ps_.add_argument("--batch", type=int, default=16)
     ps_.add_argument("--requests", type=int, default=32)
     ps_.add_argument("--prompt-len", type=int, default=512)

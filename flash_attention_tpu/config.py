@@ -62,6 +62,13 @@ class BlockSizes:
     block_kv_dq: int = 512
     block_q_dkv: int = 512
     block_kv_dkv: int = 512
+    # Forward head batching: stack block_h q-heads (sharing one KV head
+    # under GQA) as extra rows of the q tile. Shrinks the causal-skip
+    # granularity to block_q without shrinking the per-step GEMM — the
+    # short-sequence causal lever (at N=2K, 1024-blocks waste 1/3 of
+    # computed work on the diagonal). Must divide the GQA group size;
+    # the fwd path silently falls back to 1 when it does not.
+    block_h: int = 1
 
     def clamp(self, seq_q: int, seq_kv: int) -> "BlockSizes":
         """Shrink blocks that exceed the actual sequence lengths."""
@@ -74,6 +81,7 @@ class BlockSizes:
             block_kv_dq=fit(self.block_kv_dq, seq_kv),
             block_q_dkv=fit(self.block_q_dkv, seq_q),
             block_kv_dkv=fit(self.block_kv_dkv, seq_kv),
+            block_h=self.block_h,
         )
 
 
@@ -188,17 +196,40 @@ def select_block_sizes(
 @functools.cache
 def default_block_sizes(seq_q: int, seq_kv: int, head_dim: int,
                         dtype_name: str = "bfloat16",
-                        causal: bool = False) -> BlockSizes:
+                        causal: bool = False,
+                        group: int = 1) -> BlockSizes:
     """Cached head-dim dispatch (role of `flash_attn_unified.cu:545-599`'s
     runtime switch over template instantiations — here the 'instantiation'
-    is a traced Pallas kernel specialization, cached by XLA)."""
+    is a traced Pallas kernel specialization, cached by XLA).
+
+    group = GQA q-heads per KV head; short causal sequences enable
+    forward head batching (BlockSizes.block_h) when it divides group.
+    """
     if head_dim not in SUPPORTED_HEAD_DIMS:
         raise ValueError(
             f"head_dim {head_dim} not in supported set {SUPPORTED_HEAD_DIMS}"
         )
-    return select_block_sizes(
+    bs = select_block_sizes(
         seq_q, seq_kv, head_dim, dtype=jnp.dtype(dtype_name), causal=causal
     )
+    if causal and group >= 2:
+        # Head batching (BlockSizes.block_h): stack q-heads sharing one
+        # KV head as extra tile rows — the per-step GEMM stays fat
+        # while causal blocks shrink, and the shared diagonal pattern
+        # rides the additive mask tile. Measured v5e causal GQA
+        # (H=32/8, D=128, bh=4 + additive mask vs round-2 defaults):
+        # 2K 91->105 (B=8: 140.6), 8K 140.7->159.1, 32K 163->175.5,
+        # 128K 169->181.8 TF/s. Blocks: (512,512) at <=2K (diagonal
+        # waste dominates), (1024,1024) beyond (raw rate dominates).
+        bh = 1
+        while bh * 2 <= min(group, 4) and group % (bh * 2) == 0:
+            bh *= 2
+        if bh > 1:
+            bq = 512 if seq_q <= 2048 else 1024
+            bs = dataclasses.replace(
+                bs, block_q=min(bs.block_q, bq),
+                block_kv=min(bs.block_kv, bq), block_h=bh)
+    return bs
 
 
 def interpret_default() -> bool:

@@ -55,10 +55,11 @@ class LlamaConfig:
     @staticmethod
     def tiny(**kw) -> "LlamaConfig":
         """Test-scale config."""
-        return LlamaConfig(
+        base = dict(
             vocab_size=512, dim=256, n_layers=2, n_heads=4, n_kv_heads=2,
-            ffn_dim=512, **kw,
-        )
+            ffn_dim=512)
+        base.update(kw)
+        return LlamaConfig(**base)
 
     @staticmethod
     def llama3_1b(**kw) -> "LlamaConfig":
@@ -67,33 +68,37 @@ class LlamaConfig:
         a 64-wide head pads every (8,128) HBM tile of the KV pools to
         half occupancy on TPU (2x cache memory and bandwidth); 128 is
         the native lane width. Same param count and kv-head count."""
-        return LlamaConfig(
+        base = dict(
             vocab_size=128256, dim=2048, n_layers=16, n_heads=16,
-            n_kv_heads=8, ffn_dim=8192, **kw,
-        )
+            n_kv_heads=8, ffn_dim=8192)
+        base.update(kw)
+        return LlamaConfig(**base)
 
     @staticmethod
     def llama3_8b(**kw) -> "LlamaConfig":
-        return LlamaConfig(
+        base = dict(
             vocab_size=128256, dim=4096, n_layers=32, n_heads=32,
-            n_kv_heads=8, ffn_dim=14336, **kw,
-        )
+            n_kv_heads=8, ffn_dim=14336)
+        base.update(kw)
+        return LlamaConfig(**base)
 
     @staticmethod
     def mistral_7b(**kw) -> "LlamaConfig":
         """Mistral-7B-class shapes with the 4096-token sliding window."""
-        return LlamaConfig(
+        base = dict(
             vocab_size=32000, dim=4096, n_layers=32, n_heads=32,
             n_kv_heads=8, ffn_dim=14336, rope_theta=10000.0,
-            window=4096, **kw,
-        )
+            window=4096)
+        base.update(kw)
+        return LlamaConfig(**base)
 
     @staticmethod
     def llama3_70b(**kw) -> "LlamaConfig":
-        return LlamaConfig(
+        base = dict(
             vocab_size=128256, dim=8192, n_layers=80, n_heads=64,
-            n_kv_heads=8, ffn_dim=28672, **kw,
-        )
+            n_kv_heads=8, ffn_dim=28672)
+        base.update(kw)
+        return LlamaConfig(**base)
 
 
 # --- parameters ---------------------------------------------------------

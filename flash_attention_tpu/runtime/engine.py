@@ -130,6 +130,7 @@ class EngineStats:
     spec_proposed: int = 0            # draft tokens offered
     spec_accepted: int = 0            # draft tokens confirmed
     engine_steps: int = 0
+    peak_pages: int = 0               # max pages in use at any step
     prefill_s: float = 0.0
     decode_s: float = 0.0
     ttft_s: list = dataclasses.field(default_factory=list)
@@ -903,6 +904,12 @@ class Engine:
         `decode_chunk` steps, collect finished sequences. Returns
         completions finished this step."""
         done = self._try_admit()
+        used = self.cache.num_pages - self.cache.free_pages
+        if used > self.stats.peak_pages:
+            # Peak page occupancy: the windowed-serving O(window) claim
+            # is checked against this (a 64K/4K-window sequence must
+            # hold ~window pages, not ~context — see SERVING.md).
+            self.stats.peak_pages = used
         done.extend(self._step_prefill())
         live = [i for i, s in enumerate(self.slots) if s is not None]
         # Prefill-priority batching with a BOUNDED decode stall: a

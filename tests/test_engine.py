@@ -245,6 +245,7 @@ def test_engine_fork_n_greedy_branches_identical(params, rng):
     assert eng.cache.free_pages == free0  # all pages reclaimed
 
 
+@pytest.mark.slow
 def test_engine_chunked_prefill_matches_greedy(params, rng):
     """Chunked prefill (TTFT path): transcripts identical to the
     monolithic-prefill engine, TTFT recorded per request."""

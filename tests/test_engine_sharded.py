@@ -73,7 +73,10 @@ def test_sharded_engine_quantized_kv_parity(params, rng):
     assert got == want
 
 
-@pytest.mark.parametrize("wdtype", ["int4", jnp.int8])
+@pytest.mark.parametrize("wdtype", [
+    "int4",
+    pytest.param(jnp.int8, marks=pytest.mark.slow),
+])
 def test_sharded_engine_quantized_weights_parity(params, rng, wdtype):
     """TP-sharded engine with QUANTIZED WEIGHT trees (int8 / packed
     int4): expand_param_shardings lays the packed values and scales on

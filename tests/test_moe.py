@@ -93,6 +93,7 @@ def test_moe_mlp_matches_dense_mixture(params, rng):
         rtol=2e-4, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_moe_forward_finite(params, rng):
     tokens = jnp.asarray(rng.integers(0, CFG.vocab_size, (2, 32)), jnp.int32)
     logits, aux = moe_forward(params, tokens, CFG)

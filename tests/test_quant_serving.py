@@ -104,7 +104,7 @@ def _teacher_forced_nll(params, tokens, cache, steps):
 
 @pytest.mark.parametrize("qdtype", [
     pytest.param(jnp.int8, marks=pytest.mark.slow),
-    jnp.float8_e4m3fn,
+    pytest.param(jnp.float8_e4m3fn, marks=pytest.mark.slow),
     jnp.float8_e5m2,
 ])
 def test_quant_ppl_delta_gate(params, rng, qdtype):

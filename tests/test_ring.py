@@ -198,6 +198,7 @@ def test_ring_attention_inside_model_training(rng):
 # --- feature parity with the single-chip kernel: window + segments -----
 
 
+@pytest.mark.slow
 def test_ring_attention_sliding_window_matches_reference(rng):
     """Causal sliding window across ring steps (contiguous layout):
     window spans chunk boundaries, old chunks drop out entirely."""
