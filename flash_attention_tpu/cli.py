@@ -689,8 +689,13 @@ def cmd_serve_bench(args):
         ]
 
     # Warmup round compiles prefill/decode/flush programs; the engine is
-    # then reused so the measured round is compile-free.
+    # then reused so the measured round is compile-free. Open-loop
+    # arrivals additionally exercise every pow2 prefill group size
+    # (queue-depth dependent), so precompile them all — a cold Mosaic
+    # compile mid-serve would poison TTFT for the whole backlog.
     eng.run(make_reqs(min(args.batch + 1, args.requests)))
+    if args.arrival_rate and args.prefill_chunk:
+        eng.precompile_chunked_prefill(args.prompt_len)
     import dataclasses as _dc
     base = _dc.replace(eng.stats)
     n_ttft_base = len(eng.stats.ttft_s)

@@ -484,6 +484,52 @@ class Engine:
         self.pending.append(request)
         return request.request_id
 
+    def precompile_chunked_prefill(self, prompt_len: int) -> int:
+        """Compile the grouped chunked-prefill program for every
+        power-of-two group size up to max_batch at this prompt bucket
+        (the vLLM-style shape-bucket warmup, adapted to XLA's
+        shape-specialized executables).
+
+        _step_prefill batches same-shape tasks into the largest pow2
+        group, so the group size an open-loop arrival pattern produces
+        depends on queue depth — any size in {1, 2, ..., max_batch} can
+        occur, and the first occurrence of each pays a full Mosaic
+        compile mid-serve (tens of seconds on a remote-compile
+        transport), poisoning TTFT for everything queued behind it. A
+        closed burst only ever exercises the largest group and g=1,
+        which is why the gap never shows there. Returns the number of
+        programs compiled. Windowed (sliding-window) prefill uses a
+        different rolling-buffer program and is not covered here."""
+        if not self.prefill_chunk:
+            return 0
+        tb = _bucket(prompt_len)
+        span = tb
+        chunk = min(self.prefill_chunk, span)
+        chunk = 1 << (chunk.bit_length() - 1)
+        while span % chunk:
+            chunk //= 2
+        L = self.cfg.n_layers
+        hkv, d = self.cfg.n_kv_heads, self.cfg.head_dim
+        n = 0
+        g = 1
+        while g <= self.max_batch:
+            toks = jnp.zeros((g, chunk), jnp.int32)
+            kb = jnp.zeros((L, g, hkv, tb, d), self.cfg.dtype)
+            vb = jnp.zeros((L, g, hkv, tb, d), self.cfg.dtype)
+            if self.mesh is not None:
+                from jax.sharding import NamedSharding
+                sh = NamedSharding(self.mesh, self._buf_spec)
+                kb = jax.device_put(kb, sh)
+                vb = jax.device_put(vb, sh)
+            out = self._prefill_chunk_fn(
+                self.params, toks, kb, vb,
+                jnp.zeros((g,), jnp.int32),
+                jnp.full((g,), chunk, jnp.int32))
+            jax.block_until_ready(out)
+            n += 1
+            g *= 2
+        return n
+
     @property
     def num_active(self) -> int:
         return sum(s is not None for s in self.slots)

@@ -99,6 +99,17 @@ timeout 1400 python -m flash_attention_tpu.cli serve-bench --model 1b \
     --decode-chunk 24 --shared-prefix 384 2>&1 \
     | grep -v "Platform 'axon'" | tee benchmarks/serve_bench_1b_prefix_off
 
+# Open-loop Poisson arrivals (the headline serving-latency methodology:
+# closed bursts measure queue depth, not the engine) at three rates
+# around the ~8 req/s decode-bound capacity of this config.
+for rate in 2 4 6; do
+    timeout 1400 python -m flash_attention_tpu.cli serve-bench --model 1b \
+        --batch 16 --requests 64 --prompt-len 512 --gen-len 48 \
+        --decode-chunk 24 --prefill-chunk 256 --arrival-rate "$rate" 2>&1 \
+        | grep -v "Platform 'axon'" \
+        | tee "benchmarks/serve_bench_1b_openloop_r$rate"
+done
+
 # Speculative-decode cost pair: k=3 verify vs single-token dispatch
 timeout 1400 python -m flash_attention_tpu.cli serve-bench --model 1b \
     --batch 16 --requests 32 --prompt-len 256 --gen-len 48 \

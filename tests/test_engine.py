@@ -380,3 +380,19 @@ def test_engine_top_p_sampling(params, rng):
     assert a1 == a2                    # same seed -> same sample path
     c1 = serve(4)                      # fused on-device chunk path runs
     assert len(c1) == 6
+
+
+def test_engine_precompile_chunked_prefill(params, rng):
+    """Shape-bucket warmup: every pow2 prefill group size compiles up
+    front (open-loop arrivals produce queue-depth-dependent group
+    sizes; a cold compile mid-serve poisons TTFT), and the engine
+    serves identically afterwards."""
+    eng = make_engine(params, prefill_chunk=64, decode_chunk=2)
+    assert eng.precompile_chunked_prefill(200) == 3  # g = 1, 2, 4
+    prompts = [list(rng.integers(0, CFG.vocab_size, 190 + i))
+               for i in range(3)]
+    out = eng.run([Request(prompt=p, max_new_tokens=4) for p in prompts])
+    want = {len(p): ref_greedy(params, p, 4) for p in prompts}
+    assert {c.prompt_len: c.tokens for c in out} == want
+    # no-op when chunked prefill is off
+    assert make_engine(params).precompile_chunked_prefill(200) == 0
