@@ -699,6 +699,8 @@ def cmd_serve_bench(args):
     import dataclasses as _dc
     base = _dc.replace(eng.stats)
     n_ttft_base = len(eng.stats.ttft_s)
+    if args.trace:
+        eng.trace = []
     t0 = time.perf_counter()
     if args.arrival_rate:
         # Open-loop Poisson arrivals: the standard serving-latency
@@ -769,6 +771,26 @@ def cmd_serve_bench(args):
     print(f"  pages: peak {eng.stats.peak_pages} of {args.num_pages} "
           f"in use ({eng.stats.peak_pages * args.page_size} tokens"
           f"{win})")
+    if args.trace and eng.trace:
+        by_kind: dict = {}
+        for _, dur, kind, *_ in eng.trace:
+            c, t = by_kind.get(kind, (0, 0.0))
+            by_kind[kind] = (c + 1, t + dur)
+        acct = sum(t for _, t in by_kind.values())
+        print(f"  trace: {len(eng.trace)} steps, {acct:.2f} s in-step "
+              f"of {wall:.2f} s wall; admit "
+              f"{eng.stats.admit_s - base.admit_s:.2f} s, flush "
+              f"{eng.stats.flush_s - base.flush_s:.2f} s, book "
+              f"{eng.stats.book_s - base.book_s:.2f} s")
+        for kind, (c, t) in sorted(by_kind.items(),
+                                   key=lambda kv: -kv[1][1]):
+            print(f"    {kind:14s} {c:5d} steps  {t:7.2f} s  "
+                  f"({t / c * 1e3:7.1f} ms/step)")
+        worst = sorted(eng.trace, key=lambda e: -e[1])[:5]
+        for t_s, dur, kind, nlive, npend, npre in worst:
+            print(f"    slow: +{t_s - t0:7.2f}s {kind:14s} "
+                  f"{dur * 1e3:8.1f} ms  live={nlive} pend={npend} "
+                  f"prefilling={npre}")
     return 0
 
 
@@ -917,6 +939,9 @@ def main(argv=None):
     ps_.add_argument("--arrival-rate", type=float, default=None,
                      help="open-loop Poisson arrival rate (req/s); "
                           "default is a closed burst of --requests")
+    ps_.add_argument("--trace", action="store_true",
+                     help="print a per-step wall-time breakdown "
+                          "(kind histogram + slowest steps)")
     ps_.set_defaults(fn=cmd_serve_bench)
 
     pf = sub.add_parser("profile",

@@ -75,51 +75,77 @@ def speculative_sample(logits, tokens, temps, top_ps, key):
     k = kp1 - 1
     logits = logits.astype(jnp.float32)
     greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)   # [B, k+1]
-    tsafe = jnp.maximum(temps, 1e-6)[:, None, None]
-    filt = apply_top_p(
-        (logits / tsafe).reshape(b * kp1, v),
-        jnp.repeat(top_ps, kp1),
-    ).reshape(b, kp1, v)
-    p = jax.nn.softmax(filt, axis=-1)                        # [B, k+1, V]
-
-    is_greedy = (temps <= 0.0)[:, None]
-    if k:
-        drafts = tokens[:, 1:]                               # [B, k]
-        p_draft = jnp.take_along_axis(
-            p[:, :k], drafts[..., None], axis=-1)[..., 0]    # [B, k]
-        key, ku = jax.random.split(key)
-        u = jax.random.uniform(ku, (b, k))
-        acc = jnp.where(is_greedy, greedy[:, :k] == drafts, u < p_draft)
-        # First rejected index in 0..k (k = all accepted).
-        accepted = jnp.sum(
-            jnp.cumprod(acc.astype(jnp.int32), axis=1), axis=1)
-    else:
-        drafts = jnp.zeros((b, 0), jnp.int32)
-        accepted = jnp.zeros((b,), jnp.int32)
-
-    # Correction token at position `accepted`: residual distribution
-    # (draft token masked) on a true rejection, plain p_k on accept-all.
-    filt_a = jnp.take_along_axis(
-        filt, accepted[:, None, None], axis=1)[:, 0]         # [B, V]
-    if k:
-        d_a = jnp.take_along_axis(
-            tokens, jnp.minimum(accepted + 1, k)[:, None], axis=1)[:, 0]
-        rejected = (accepted < k)[:, None]
-        onehot = jax.nn.one_hot(d_a, v, dtype=jnp.bool_)
-        filt_a = jnp.where(rejected & onehot, -jnp.inf, filt_a)
-    key, kc = jax.random.split(key)
-    corr_s = jax.random.categorical(kc, filt_a, axis=-1).astype(jnp.int32)
-    corr_g = jnp.take_along_axis(
-        greedy, accepted[:, None], axis=1)[:, 0]
-    corr = jnp.where(is_greedy[:, 0], corr_g, corr_s)        # [B]
-
-    # out[:, i] = draft for i < accepted, correction at i == accepted.
+    drafts = (tokens[:, 1:] if k
+              else jnp.zeros((b, 0), jnp.int32))             # [B, k]
     pos = jnp.arange(kp1)[None, :]
     dpad = jnp.pad(drafts, ((0, 0), (0, 1)))
-    out = jnp.where(pos < accepted[:, None], dpad,
-                    jnp.where(pos == accepted[:, None], corr[:, None],
-                              dpad))
-    return out.astype(jnp.int32), accepted
+
+    def emit(accepted, corr):
+        # out[:, i] = draft for i < accepted, correction at i == accepted.
+        out = jnp.where(pos < accepted[:, None], dpad,
+                        jnp.where(pos == accepted[:, None],
+                                  corr[:, None], dpad))
+        return out.astype(jnp.int32), accepted.astype(jnp.int32)
+
+    def greedy_path(_):
+        # Argmax-equality limit: no filtered distributions needed.
+        if k:
+            acc = (greedy[:, :k] == drafts).astype(jnp.int32)
+            accepted = jnp.sum(jnp.cumprod(acc, axis=1), axis=1)
+        else:
+            accepted = jnp.zeros((b,), jnp.int32)
+        corr = jnp.take_along_axis(
+            greedy, accepted[:, None], axis=1)[:, 0]
+        return emit(accepted, corr)
+
+    def sampled_path(_):
+        tsafe = jnp.maximum(temps, 1e-6)[:, None, None]
+        filt = apply_top_p(
+            (logits / tsafe).reshape(b * kp1, v),
+            jnp.repeat(top_ps, kp1),
+        ).reshape(b, kp1, v)
+        p = jax.nn.softmax(filt, axis=-1)                    # [B, k+1, V]
+
+        is_greedy = (temps <= 0.0)[:, None]
+        k2 = key
+        if k:
+            p_draft = jnp.take_along_axis(
+                p[:, :k], drafts[..., None], axis=-1)[..., 0]  # [B, k]
+            k2, ku = jax.random.split(k2)
+            u = jax.random.uniform(ku, (b, k))
+            acc = jnp.where(is_greedy, greedy[:, :k] == drafts,
+                            u < p_draft)
+            # First rejected index in 0..k (k = all accepted).
+            accepted = jnp.sum(
+                jnp.cumprod(acc.astype(jnp.int32), axis=1), axis=1)
+        else:
+            accepted = jnp.zeros((b,), jnp.int32)
+
+        # Correction token at position `accepted`: residual distribution
+        # (draft token masked) on a true rejection, plain p_k on
+        # accept-all.
+        filt_a = jnp.take_along_axis(
+            filt, accepted[:, None, None], axis=1)[:, 0]     # [B, V]
+        if k:
+            d_a = jnp.take_along_axis(
+                tokens, jnp.minimum(accepted + 1, k)[:, None],
+                axis=1)[:, 0]
+            rejected = (accepted < k)[:, None]
+            onehot = jax.nn.one_hot(d_a, v, dtype=jnp.bool_)
+            filt_a = jnp.where(rejected & onehot, -jnp.inf, filt_a)
+        k2, kc = jax.random.split(k2)
+        corr_s = jax.random.categorical(
+            kc, filt_a, axis=-1).astype(jnp.int32)
+        corr_g = jnp.take_along_axis(
+            greedy, accepted[:, None], axis=1)[:, 0]
+        corr = jnp.where(is_greedy[:, 0], corr_g, corr_s)    # [B]
+        return emit(accepted, corr)
+
+    # All-greedy batches skip the sampled branch entirely: its nucleus
+    # filter sorts [B*(k+1), vocab] per verify dispatch, which at 128K
+    # vocab costs more than the verify forward itself.
+    return jax.lax.cond(
+        jnp.all(temps <= 0.0), greedy_path, sampled_path, operand=None)
 
 
 def generate(params, prompt_tokens, cfg, *, max_new_tokens: int,

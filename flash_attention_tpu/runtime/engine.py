@@ -34,6 +34,7 @@ import collections
 import dataclasses
 import functools
 import itertools
+import os
 import time
 from typing import Any
 
@@ -120,6 +121,8 @@ class _PrefillTask:
                                       # per dispatch (padded_done tracks
                                       # that).
     padded_done: int = 0
+    first_token: int | None = None    # pre-sampled (group-batched) first
+                                      # token; None -> sample at install
 
 
 @dataclasses.dataclass
@@ -133,6 +136,11 @@ class EngineStats:
     peak_pages: int = 0               # max pages in use at any step
     prefill_s: float = 0.0
     decode_s: float = 0.0
+    # Wall-time breakdown of the non-dispatch engine step (observability
+    # for serving-latency diagnosis; `serve-bench --trace` prints it):
+    admit_s: float = 0.0              # _try_admit (incl. prefix probes)
+    flush_s: float = 0.0              # tail flush + window eviction
+    book_s: float = 0.0               # host-side batch assembly
     ttft_s: list = dataclasses.field(default_factory=list)
 
     @property
@@ -218,6 +226,13 @@ class Engine:
         # steps allowed while live decode slots wait.
         self.max_decode_stall = max(0, int(max_decode_stall))
         self._decode_stalled = 0
+        # Optional per-step trace: set to [] to record
+        # (t_start, dur_s, kind, live, pending, prefilling) per step.
+        self.trace: list | None = None
+        # Debug: block after every dispatch so trace/stat brackets
+        # attribute device time to the dispatch that incurred it
+        # (async dispatch otherwise bills it to the next sync point).
+        self._sync_debug = bool(os.environ.get("FA_TPU_SYNC_STEPS"))
 
         # Chunked prefill (TTFT): admit prompts as _PrefillTasks that
         # advance `prefill_chunk` tokens per engine step, interleaved
@@ -378,11 +393,22 @@ class Engine:
                 )
 
                 greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-                scaled = logits / jnp.maximum(temps, 1e-6)[:, None]
-                scaled = apply_top_p(scaled, top_ps)
-                cat = jax.random.categorical(
-                    jax.random.fold_in(key, i), scaled, axis=-1
-                ).astype(jnp.int32)
+
+                def categorical(_):
+                    scaled = logits / jnp.maximum(temps, 1e-6)[:, None]
+                    scaled = apply_top_p(scaled, top_ps)
+                    return jax.random.categorical(
+                        jax.random.fold_in(key, i), scaled, axis=-1
+                    ).astype(jnp.int32)
+
+                # All-greedy batches skip the categorical branch: its
+                # nucleus filter sorts [B, vocab] EVERY decode step
+                # (~25 ms at 128K vocab — 7x the whole model's weight
+                # read), which made fused decode 10x slower than the
+                # roofline for the common greedy workload.
+                cat = jax.lax.cond(
+                    jnp.any(temps > 0.0), categorical,
+                    lambda _: greedy, operand=None)
                 nxt = jnp.where(temps <= 0.0, greedy, cat)
                 return (nxt, kt, vt), nxt
             (_, k_tails, v_tails), toks = jax.lax.scan(
@@ -514,18 +540,40 @@ class Engine:
         g = 1
         while g <= self.max_batch:
             toks = jnp.zeros((g, chunk), jnp.int32)
-            kb = jnp.zeros((L, g, hkv, tb, d), self.cfg.dtype)
-            vb = jnp.zeros((L, g, hkv, tb, d), self.cfg.dtype)
+            if g == 1:
+                kb = jnp.zeros((L, g, hkv, tb, d), self.cfg.dtype)
+                vb = jnp.zeros((L, g, hkv, tb, d), self.cfg.dtype)
+            else:
+                # Warm the eager per-row -> group concatenate program
+                # too: _step_prefill concatenates g single-row buffers
+                # before every grouped dispatch, and its first run at a
+                # new g is a mid-serve compile like any other.
+                rows = [jnp.zeros((L, 1, hkv, tb, d), self.cfg.dtype)
+                        for _ in range(g)]
+                kb = jnp.concatenate(rows, axis=1)
+                vb = jnp.concatenate(rows, axis=1)
             if self.mesh is not None:
                 from jax.sharding import NamedSharding
                 sh = NamedSharding(self.mesh, self._buf_spec)
                 kb = jax.device_put(kb, sh)
                 vb = jax.device_put(vb, sh)
-            out = self._prefill_chunk_fn(
+            logits, kb2, vb2 = self._prefill_chunk_fn(
                 self.params, toks, kb, vb,
                 jnp.zeros((g,), jnp.int32),
                 jnp.full((g,), chunk, jnp.int32))
-            jax.block_until_ready(out)
+            for i in range(g if g > 1 else 0):
+                # Warm the per-row re-slice programs (static start
+                # indices -> one program per (g, i)).
+                _ = kb2[:, i:i + 1], vb2[:, i:i + 1]
+            if g > 1:
+                # Group-finish batched first-token sampling: one
+                # greedy program per finishing-group size m. Warm the
+                # logits-slice concatenate + argmax shapes.
+                lg = jnp.concatenate(
+                    [logits[i:i + 1] for i in range(g)])
+                self._sample_batch(lg, np.zeros(g, np.float32),
+                                   np.zeros(g, np.float32))
+            jax.block_until_ready(logits)
             n += 1
             g *= 2
         return n
@@ -730,7 +778,9 @@ class Engine:
 
     def _install_sequences(self, req, logits, ks, vs, t, worst,
                            branch_worst, prefix_pages=(),
-                           prompt=None, base_tokens=0) -> list[Completion]:
+                           prompt=None, base_tokens=0,
+                           first_token: int | None = None,
+                           ) -> list[Completion]:
         """Prompt KV is ready: page it in (only the suffix past any
         cached prefix pages), fork n-1 branches, fill decode slots,
         sample + timestamp the first token (TTFT). `base_tokens` admits
@@ -758,8 +808,10 @@ class Engine:
             self.stats.ttft_s.append(ttft)
 
         for branch, (slot_idx, bsid) in enumerate(zip(free_slots, sids)):
-            first = self._sample_one(logits[0], req.temperature,
-                                     req.top_p)
+            first = (first_token
+                     if branch == 0 and first_token is not None
+                     else self._sample_one(logits[0], req.temperature,
+                                           req.top_p))
             slot = _Slot(request=req, seq_id=bsid, prompt_len=t,
                          length=t, tail=0, next_token=first,
                          generated=[first], branch=branch,
@@ -825,26 +877,51 @@ class Engine:
             logits, kb, vb = fn(
                 self.params, jnp.asarray(chunk), kb, vb,
                 jnp.asarray(starts), jnp.asarray(reals))
+            if self._sync_debug:
+                jax.block_until_ready(logits)
             self.stats.prefill_s += time.perf_counter() - t0
             budget -= int(reals.max())
+            fin = []
             for i, task in enumerate(group):
                 task.logits = logits[i:i + 1]
                 task.k_bufs = kb if g == 1 else kb[:, i:i + 1]
                 task.v_bufs = vb if g == 1 else vb[:, i:i + 1]
                 task.done = int(starts[i] + reals[i])
                 task.padded_done = int(starts[i]) + c
-                t = len(task.prompt)
-                if task.done < t:
-                    continue
-                self.prefilling.remove(task)
+                if task.done >= len(task.prompt):
+                    self.prefilling.remove(task)
+                    fin.append(task)
+            single = [t_ for t_ in fin if max(1, t_.request.n) == 1]
+            if len(single) > 1:
+                # ONE batched first-token sample + ONE readback for the
+                # whole finishing group. Per-task _sample_one serialized
+                # g host<->device round-trips here, and those syncs —
+                # not device compute — dominated open-loop TTFT
+                # (serve-bench --trace). Greedy rows are argmax in both
+                # paths, so transcripts are unchanged.
+                m = len(single)
+                mp = 1 << (m - 1).bit_length()   # pad to pow2: only
+                rows = [t_.logits for t_ in single]  # warmed shapes occur
+                rows += [rows[0]] * (mp - m)
+                temps = np.zeros(mp, np.float32)
+                tps = np.zeros(mp, np.float32)
+                temps[:m] = [t_.request.temperature for t_ in single]
+                tps[:m] = [t_.request.top_p for t_ in single]
+                toks = self._sample_batch(
+                    jnp.concatenate(rows), temps, tps)
+                for t_, tok in zip(single, toks[:m]):
+                    t_.first_token = int(tok)
+            for task in fin:
                 if task.windowed:
                     done.extend(self._install_windowed(task))
                     continue
+                t = len(task.prompt)
                 done.extend(self._install_sequences(
                     task.request, task.logits,
                     task.k_bufs[:, 0, :, :t], task.v_bufs[:, 0, :, :t],
                     t, task.worst, task.branch_worst,
-                    prefix_pages=task.prefix_pages, prompt=task.prompt))
+                    prefix_pages=task.prefix_pages, prompt=task.prompt,
+                    first_token=task.first_token))
         return done
 
     def _install_windowed(self, task: _PrefillTask) -> list[Completion]:
@@ -866,7 +943,7 @@ class Engine:
         out = self._install_sequences(
             task.request, task.logits, ks, vs, t,
             task.worst, task.branch_worst, prompt=task.prompt,
-            base_tokens=base)
+            base_tokens=base, first_token=task.first_token)
         # Cached-seed tokens were never prefilled (install counts the
         # full prompt; correct the split back to cached vs computed).
         self.stats.prefill_tokens -= min(
@@ -944,12 +1021,20 @@ class Engine:
 
     # --- engine step ------------------------------------------------------
 
+    def _trace_step(self, t0: float, kind: str) -> None:
+        if self.trace is not None:
+            self.trace.append(
+                (t0, time.perf_counter() - t0, kind, self.num_active,
+                 len(self.pending), len(self.prefilling)))
+
     def step(self) -> list[Completion]:
         """One engine iteration: admit, advance one prefill chunk (when
         chunked prefill is on), one fused decode dispatch of
         `decode_chunk` steps, collect finished sequences. Returns
         completions finished this step."""
+        t_step = time.perf_counter()
         done = self._try_admit()
+        self.stats.admit_s += time.perf_counter() - t_step
         used = self.cache.num_pages - self.cache.free_pages
         if used > self.stats.peak_pages:
             # Peak page occupancy: the windowed-serving O(window) claim
@@ -976,15 +1061,19 @@ class Engine:
                 and self._decode_stalled < self.max_decode_stall):
             self._decode_stalled += 1
             self.stats.engine_steps += 1
+            self._trace_step(t_step, "prefill-lease")
             return done
         self._decode_stalled = 0
         if not live:
             self.stats.engine_steps += 1
+            self._trace_step(t_step, "idle" if not self.prefilling
+                             else "prefill-only")
             return done
 
         chunk = self.decode_chunk
         step_tokens = (self.speculative_k + 1 if self.speculative_k
                        else chunk)
+        t_flush = time.perf_counter()
         # Flush BEFORE the chunk if any live tail could overflow.
         if any(self.slots[i].tail + step_tokens > self.cache.tail_size
                for i in live):
@@ -1003,6 +1092,11 @@ class Engine:
                         sid,
                         self.cache.length(sid) + 1 - self.cfg.window)
 
+        if self._sync_debug:
+            jax.block_until_ready(self.cache.k_tails)
+        self.stats.flush_s += time.perf_counter() - t_flush
+
+        t_book = time.perf_counter()
         tokens = np.zeros(self.max_batch, np.int32)
         tail_pos = np.zeros(self.max_batch, np.int32)
         temps = np.zeros(self.max_batch, np.float32)
@@ -1013,14 +1107,27 @@ class Engine:
             temps[i] = self.slots[i].request.temperature
             top_ps[i] = self.slots[i].request.top_p
         slot_sids = [s.seq_id if s else -1 for s in self.slots]
-        tables, paged_lens = self.cache.batch_state(
-            slot_sids, self.max_pages)
+        # Shape-bucketed page-table width: the paged kernel runs a
+        # (B, width) grid per layer, so the full engine max_pages
+        # (512 at the 128K default max_seq_len) costs ~20 ms/step of
+        # masked grid traversal at short contexts. Coarse pow8 buckets
+        # bound the number of compiled decode programs to 3-4.
+        need = self.cache.live_pages(slot_sids)
+        width = self.max_pages
+        for b_ in (8, 64):
+            if need <= b_ <= self.max_pages:
+                width = b_
+                break
+        tables, paged_lens = self.cache.batch_state(slot_sids, width)
         bases = self.cache.bases(slot_sids)
+        self.stats.book_s += time.perf_counter() - t_book
 
         if self.speculative_k:
-            return self._step_speculative(done, live, tail_pos, temps,
-                                          top_ps, tables, paged_lens,
-                                          bases)
+            out = self._step_speculative(done, live, tail_pos, temps,
+                                         top_ps, tables, paged_lens,
+                                         bases)
+            self._trace_step(t_step, "decode-spec")
+            return out
 
         t0 = time.perf_counter()
         if chunk == 1:
@@ -1068,6 +1175,7 @@ class Engine:
                     self.slots[i] = None
                     s = None
         self.stats.decode_tokens += accepted
+        self._trace_step(t_step, "decode")
         return done
 
     def _step_speculative(self, done, live, tail_pos, temps, top_ps,

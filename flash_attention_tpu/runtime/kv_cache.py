@@ -628,6 +628,22 @@ class LayeredPagedKVCache:
             else self.allocator.base(sid) * self.page_size
             for sid in seq_ids], jnp.int32)
 
+    def live_pages(self, seq_ids) -> int:
+        """Max STORED pages over the batch (>= 1) — the page-table
+        width actually needed by a decode dispatch. The paged kernel's
+        grid is (B, table_width) per layer, so dispatching with the
+        engine-wide max_pages (e.g. 512 at 128K max_seq_len) makes
+        every decode step pay B x 512 mostly-masked grid steps per
+        layer regardless of the live context."""
+        need = 1
+        for sid in seq_ids:
+            if sid is None or sid < 0:
+                continue
+            ln = (self.allocator.length(sid)
+                  - self.allocator.base(sid) * self.page_size)
+            need = max(need, -(-ln // self.page_size))
+        return need
+
     def flush_tails(self, slot_sids, counts) -> None:
         """Move each slot's first counts[i] tail tokens into its pages
         (one donated dispatch across all layers), extending allocations.
