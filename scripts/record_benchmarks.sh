@@ -100,12 +100,15 @@ timeout 1400 python -m flash_attention_tpu.cli serve-bench --model 1b \
     | grep -v "Platform 'axon'" | tee benchmarks/serve_bench_1b_prefix_off
 
 # Open-loop Poisson arrivals (the headline serving-latency methodology:
-# closed bursts measure queue depth, not the engine) at three rates
-# around the ~8 req/s decode-bound capacity of this config.
-for rate in 2 4 6; do
+# closed bursts measure queue depth, not the engine) at three rates.
+# 128 pages bounds the pool transfer (the 512-page/8.6 GB allocation
+# occasionally wedges on the tunneled transport); peak occupancy for
+# this workload is ~33 pages either way.
+for rate in 4 8 16; do
     timeout 1400 python -m flash_attention_tpu.cli serve-bench --model 1b \
         --batch 16 --requests 64 --prompt-len 512 --gen-len 48 \
-        --decode-chunk 24 --prefill-chunk 256 --arrival-rate "$rate" 2>&1 \
+        --num-pages 128 --decode-chunk 24 --prefill-chunk 256 \
+        --arrival-rate "$rate" 2>&1 \
         | grep -v "Platform 'axon'" \
         | tee "benchmarks/serve_bench_1b_openloop_r$rate"
 done

@@ -387,10 +387,11 @@ def test_engine_precompile_chunked_prefill(params, rng):
     front (open-loop arrivals produce queue-depth-dependent group
     sizes; a cold compile mid-serve poisons TTFT), and the engine
     serves identically afterwards."""
-    eng = make_engine(params, prefill_chunk=64, decode_chunk=2)
-    assert eng.precompile_chunked_prefill(200) == 3  # g = 1, 2, 4
+    eng = make_engine(params, max_batch=2, prefill_chunk=64,
+                      decode_chunk=2)
+    assert eng.precompile_chunked_prefill(200) == 2  # g = 1, 2
     prompts = [list(rng.integers(0, CFG.vocab_size, 190 + i))
-               for i in range(3)]
+               for i in range(2)]
     out = eng.run([Request(prompt=p, max_new_tokens=4) for p in prompts])
     want = {len(p): ref_greedy(params, p, 4) for p in prompts}
     assert {c.prompt_len: c.tokens for c in out} == want
