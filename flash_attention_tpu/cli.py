@@ -694,8 +694,19 @@ def cmd_serve_bench(args):
     # (queue-depth dependent), so precompile them all — a cold Mosaic
     # compile mid-serve would poison TTFT for the whole backlog.
     eng.run(make_reqs(min(args.batch + 1, args.requests)))
-    if args.arrival_rate and args.prefill_chunk:
+    if args.prefill_chunk or args.prefix_cache:
         eng.precompile_chunked_prefill(args.prompt_len)
+        if args.prefix_cache and args.shared_prefix:
+            # Warm the suffix-task shape too: a hit of `cached` tokens
+            # dispatches chunks sized from the suffix span, and any
+            # group size not compiled here stalls the serve on a
+            # mid-run compile.
+            cached = min((args.prompt_len - 1) // args.page_size,
+                         args.shared_prefix // args.page_size)
+            if cached:
+                eng.precompile_chunked_prefill(
+                    args.prompt_len,
+                    cached_tokens=cached * args.page_size)
     import dataclasses as _dc
     base = _dc.replace(eng.stats)
     n_ttft_base = len(eng.stats.ttft_s)

@@ -41,6 +41,28 @@ def _fa1_o_only(q, k, v, **kw):
     return flash_attention_fa1(q, k, v, **_reject_causal("fa1", kw))[0]
 
 
+def _fixed_tile(name: str, head_dim: int, block_q: int,
+                block_kv: int) -> Callable:
+    """Standalone fixed-tile study kernel (C15 role: the reference keeps
+    two frozen-tile kernels outside its dispatch path —
+    test_flash_attn.cu:654-824 at 16x32/d64, :349-533 at 24x48/d32).
+    The TPU analog pins BlockSizes (bypassing the VMEM autotuner) and
+    gates the head dim the way those kernels hard-code theirs."""
+    from flash_attention_tpu.config import BlockSizes
+
+    bs = BlockSizes(block_q=block_q, block_kv=block_kv)
+
+    def impl(q, k, v, **kw):
+        if q.shape[-1] != head_dim:
+            raise ValueError(
+                f"{name} is fixed to head_dim {head_dim} "
+                f"(got {q.shape[-1]}); use 'flash' for dispatched tiles")
+        kw.setdefault("block_sizes", bs)
+        return flash_attention(q, k, v, **kw)
+
+    return impl
+
+
 IMPLEMENTATIONS: dict[str, Callable] = {
     # exact XLA baselines (C2/C21 roles)
     "baseline_xla": attention_baseline,
@@ -51,12 +73,16 @@ IMPLEMENTATIONS: dict[str, Callable] = {
     ),
     "fa1": _fa1_o_only,
     "fa2_inloop": flash_attention_fa2_inloop,
+    # standalone fixed-tile kernels (C15)
+    "flash_fixed_d64": _fixed_tile("flash_fixed_d64", 64, 512, 1024),
+    "flash_fixed_d32": _fixed_tile("flash_fixed_d32", 32, 512, 2048),
     # flagship
     "flash": flash_attention,
 }
 
 # Which impls support the causal flag.
-CAUSAL_CAPABLE = {"baseline_xla", "reference_exact", "fa2_inloop", "flash"}
+CAUSAL_CAPABLE = {"baseline_xla", "reference_exact", "fa2_inloop", "flash",
+                  "flash_fixed_d64", "flash_fixed_d32"}
 
 
 def get_attention_impl(name: str) -> Callable:

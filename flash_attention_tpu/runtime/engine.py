@@ -510,7 +510,8 @@ class Engine:
         self.pending.append(request)
         return request.request_id
 
-    def precompile_chunked_prefill(self, prompt_len: int) -> int:
+    def precompile_chunked_prefill(self, prompt_len: int,
+                                   cached_tokens: int = 0) -> int:
         """Compile the grouped chunked-prefill program for every
         power-of-two group size up to max_batch at this prompt bucket
         (the vLLM-style shape-bucket warmup, adapted to XLA's
@@ -525,12 +526,22 @@ class Engine:
         closed burst only ever exercises the largest group and g=1,
         which is why the gap never shows there. Returns the number of
         programs compiled. Windowed (sliding-window) prefill uses a
-        different rolling-buffer program and is not covered here."""
-        if not self.prefill_chunk:
+        different rolling-buffer program and is not covered here.
+
+        `cached_tokens` (page-aligned) warms the prefix-cache SUFFIX
+        shape: a cache hit of that many tokens turns the request into a
+        task whose chunk derives from the suffix span — a different
+        compile shape than the cold-prompt one (with monolithic prefill
+        + prefix cache, the suffix task path is the only chunked path,
+        so warm it or every new group size compiles mid-serve)."""
+        if not (self.prefill_chunk
+                or (self.prefix_cache and cached_tokens)):
             return 0
         tb = _bucket(prompt_len)
-        span = tb
-        chunk = min(self.prefill_chunk, span)
+        span = tb - cached_tokens
+        if span <= 0:
+            return 0
+        chunk = min(self.prefill_chunk or span, span)
         chunk = 1 << (chunk.bit_length() - 1)
         while span % chunk:
             chunk //= 2

@@ -94,3 +94,25 @@ def test_dispatch_registry():
     validate_head_dim(128)
     with pytest.raises(ValueError, match="Unsupported head_dim"):
         validate_head_dim(96)
+
+
+def test_fixed_tile_kernels(qkv_factory):
+    """C15 role: frozen-tile standalone kernels — head-dim gated, match
+    the exact reference within the 2% gate, causal-capable."""
+    from flash_attention_tpu.ops.reference import attention_reference
+    from flash_attention_tpu.utils.metrics import verify
+
+    q, k, v = qkv_factory(1, 2, 2, 256, 256, 64, jnp.float32)
+    impl = get_attention_impl("flash_fixed_d64")
+    r = verify(impl(q, k, v), attention_reference(q, k, v))
+    assert r.passed, str(r)
+    r = verify(impl(q, k, v, causal=True),
+               attention_reference(q, k, v, causal=True))
+    assert r.passed, str(r)
+    with pytest.raises(ValueError, match="fixed to head_dim 64"):
+        impl(*qkv_factory(1, 2, 2, 128, 128, 32, jnp.float32))
+
+    q32, k32, v32 = qkv_factory(1, 2, 2, 256, 256, 32, jnp.float32)
+    d32 = get_attention_impl("flash_fixed_d32")
+    r = verify(d32(q32, k32, v32), attention_reference(q32, k32, v32))
+    assert r.passed, str(r)
