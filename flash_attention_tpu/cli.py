@@ -666,27 +666,84 @@ def cmd_serve_bench(args):
     rng = np.random.default_rng(42)
     kvq = {"int8": jnp.int8, "fp8": jnp.float8_e4m3fn,
            None: None, "none": None}[args.kv_quant]
-    eng = Engine(params, cfg, max_batch=args.batch,
-                 num_pages=args.num_pages, page_size=args.page_size,
-                 kv_quant_dtype=kvq,
-                 decode_chunk=1 if args.spec_k else args.decode_chunk,
-                 prefill_chunk=args.prefill_chunk,
-                 prefix_cache=args.prefix_cache,
-                 speculative_k=args.spec_k)
 
     # --shared-prefix: every request opens with this many common tokens
     # (a system prompt) — the workload automatic prefix caching serves.
     shared = list(rng.integers(0, cfg.vocab_size, args.shared_prefix)) \
         if args.shared_prefix else []
 
+    # Pre-draw every prompt (same rng order as per-call draws) so the
+    # oracle-draft mode can pre-compute the measured round's greedy
+    # transcripts before the speculative engine sees them.
+    tail = max(args.prompt_len - len(shared), 1)
+    n_warm = min(args.batch + 1, args.requests)
+    all_prompts = [
+        shared + list(rng.integers(0, cfg.vocab_size, tail))
+        for _ in range(n_warm + args.requests)
+    ]
+    queue = list(all_prompts)
+
     def make_reqs(n):
-        tail = max(args.prompt_len - len(shared), 1)
-        return [
-            Request(prompt=shared + list(
-                rng.integers(0, cfg.vocab_size, tail)),
-                max_new_tokens=args.gen_len)
-            for _ in range(n)
-        ]
+        return [Request(prompt=queue.pop(0),
+                        max_new_tokens=args.gen_len) for _ in range(n)]
+
+    draft_fn = None
+    if args.spec_oracle is not None:
+        # Mechanism benchmark: drafts come from a pre-computed greedy
+        # transcript of the SAME requests (per-token corruption prob
+        # 1 - P), so acceptance is a controlled knob instead of a
+        # property of random-weight text. Greedy verification never
+        # emits a wrong token, so the oracle stays aligned even when
+        # drafts are corrupted. This measures the speedup-vs-acceptance
+        # curve of the speculative machinery itself; the n-gram row
+        # (plain --spec-k) measures realistic acceptance on this
+        # workload.
+        if not args.spec_k:
+            raise SystemExit("--spec-oracle requires --spec-k")
+        # The pre-run uses the SAME speculative verify program (with
+        # the default n-gram drafts): a different decode program makes
+        # numerically different argmax picks on random-weight near-ties
+        # and the oracle diverges from the measured run's transcript.
+        pre = Engine(params, cfg, max_batch=args.batch,
+                     num_pages=args.num_pages, page_size=args.page_size,
+                     kv_quant_dtype=kvq, decode_chunk=1,
+                     prefill_chunk=args.prefill_chunk,
+                     speculative_k=args.spec_k)
+        measured = all_prompts[n_warm:]
+        pre_reqs = [Request(prompt=list(p), max_new_tokens=args.gen_len)
+                    for p in measured]
+        by_id = {r.request_id: r.prompt for r in pre_reqs}
+        oracle = {}
+        for c in pre.run(pre_reqs):
+            p = by_id[c.request_id]
+            oracle[tuple(int(x) for x in p[:16])] = \
+                [int(x) for x in p] + [int(x) for x in c.tokens]
+        del pre_reqs
+        del pre
+        import gc
+        gc.collect()   # drop the pre-engine's pools before the real
+        #                engine allocates its own (HBM holds ~one set)
+        orng = np.random.default_rng(7)
+        vocab = cfg.vocab_size
+
+        def draft_fn(history, k):
+            full = oracle.get(tuple(int(x) for x in history[:16]))
+            pos = len(history)
+            cont = list(full[pos:pos + k]) if full else []
+            while len(cont) < k:
+                cont.append(cont[-1] if cont else 0)
+            for i in range(k):
+                if orng.random() > args.spec_oracle:
+                    cont[i] = int(orng.integers(0, vocab))
+            return np.asarray(cont, np.int32)
+
+    eng = Engine(params, cfg, max_batch=args.batch,
+                 num_pages=args.num_pages, page_size=args.page_size,
+                 kv_quant_dtype=kvq,
+                 decode_chunk=1 if args.spec_k else args.decode_chunk,
+                 prefill_chunk=args.prefill_chunk,
+                 prefix_cache=args.prefix_cache,
+                 speculative_k=args.spec_k, draft_fn=draft_fn)
 
     # Warmup round compiles prefill/decode/flush programs; the engine is
     # then reused so the measured round is compile-free. Open-loop
@@ -766,10 +823,11 @@ def cmd_serve_bench(args):
               f"prompt tok served from cache "
               f"({100.0 * s.prefix_cached_tokens / max(tot, 1):.0f}%)")
     if args.spec_k:
+        dispatches = s.spec_proposed / max(args.spec_k, 1)
         print(f"  speculative: {s.spec_accepted}/{s.spec_proposed} "
               f"drafts accepted "
               f"({100.0 * s.spec_accepted / max(s.spec_proposed, 1):.0f}%"
-              f"), {s.decode_tokens / max(s.engine_steps, 1):.2f} "
+              f"), {s.decode_tokens / max(dispatches, 1):.2f} "
               f"tok/dispatch")
     pct = s.ttft_percentiles()
     if pct:
@@ -953,6 +1011,12 @@ def main(argv=None):
     ps_.add_argument("--trace", action="store_true",
                      help="print a per-step wall-time breakdown "
                           "(kind histogram + slowest steps)")
+    ps_.add_argument("--spec-oracle", type=float, default=None,
+                     metavar="P",
+                     help="draft from a pre-computed greedy transcript "
+                          "with per-token survival prob P (mechanism "
+                          "benchmark: acceptance as a controlled knob); "
+                          "requires --spec-k")
     ps_.set_defaults(fn=cmd_serve_bench)
 
     pf = sub.add_parser("profile",

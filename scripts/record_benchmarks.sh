@@ -118,6 +118,17 @@ timeout 1400 python -m flash_attention_tpu.cli serve-bench --model 1b \
     --batch 16 --requests 32 --prompt-len 256 --gen-len 48 \
     --spec-k 3 2>&1 \
     | grep -v "Platform 'axon'" | tee benchmarks/serve_bench_1b_spec
+# Speculation speedup-vs-acceptance curve (oracle drafts from a
+# pre-computed transcript; acceptance is a controlled knob — n-gram
+# acceptance on random-weight text stays ~3%, a workload property)
+timeout 1400 python -m flash_attention_tpu.cli serve-bench --model 1b \
+    --batch 16 --requests 32 --prompt-len 256 --gen-len 48 \
+    --num-pages 128 --spec-k 3 --spec-oracle 1.0 2>&1 \
+    | grep -v "Platform 'axon'" | tee benchmarks/serve_bench_1b_spec_oracle
+timeout 1400 python -m flash_attention_tpu.cli serve-bench --model 1b \
+    --batch 16 --requests 32 --prompt-len 256 --gen-len 48 \
+    --num-pages 128 --spec-k 3 --spec-oracle 0.7 2>&1 \
+    | grep -v "Platform 'axon'" | tee benchmarks/serve_bench_1b_spec_oracle70
 timeout 1400 python -m flash_attention_tpu.cli serve-bench --model 1b \
     --batch 16 --requests 32 --prompt-len 256 --gen-len 48 \
     --decode-chunk 1 2>&1 \
