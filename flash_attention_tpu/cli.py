@@ -29,6 +29,7 @@ from __future__ import annotations
 import argparse
 import contextlib
 import functools
+import os
 import sys
 import time
 
@@ -813,9 +814,17 @@ def cmd_serve_bench(args):
     print(f"  decode: {s.decode_tokens} tok in {s.decode_s:.2f} s = "
           f"{s.decode_tokens_per_s:.1f} tok/s/chip "
           f"(batch {args.batch}, steps {s.engine_steps})")
+    # Chunked prefill dispatches enqueue asynchronously; their device
+    # time drains inside later sync points, so the per-component rate
+    # is an ENQUEUE rate, not device throughput (wall time and TTFT are
+    # the honest end-to-end numbers; FA_TPU_SYNC_STEPS=1 forces
+    # per-dispatch attribution).
+    async_note = (", async-attributed"
+                  if args.prefill_chunk and not os.environ.get(
+                      "FA_TPU_SYNC_STEPS") else "")
     print(f"  prefill: {s.prefill_tokens} tok in {s.prefill_s:.2f} s = "
           f"{s.prefill_tokens / max(s.prefill_s, 1e-9):.0f} tok/s"
-          + (f" (chunked, {args.prefill_chunk} tok/chunk)"
+          + (f" (chunked, {args.prefill_chunk} tok/chunk{async_note})"
              if args.prefill_chunk else ""))
     if args.prefix_cache:
         tot = s.prefill_tokens + s.prefix_cached_tokens
