@@ -157,6 +157,16 @@ class EngineStats:
         return {"p50": pick(0.50), "p90": pick(0.90), "p99": pick(0.99)}
 
 
+
+def _hard_sync(x) -> None:
+    """Force completion of everything feeding `x`. On the axon (tunneled
+    PJRT) platform `jax.block_until_ready` can return before execution
+    completes; a 1-element readback is the reliable barrier (same trick
+    as utils/bench.device_sync)."""
+    leaf = jax.tree.leaves(x)[0]
+    np.asarray(jax.device_get(leaf.ravel()[:1]))
+
+
 def propose_ngram_draft(history, k: int, ngram: int = 2):
     """Prompt-lookup draft: find the most recent earlier occurrence of
     the history's trailing `ngram` and propose the k tokens that
@@ -584,7 +594,7 @@ class Engine:
                     [logits[i:i + 1] for i in range(g)])
                 self._sample_batch(lg, np.zeros(g, np.float32),
                                    np.zeros(g, np.float32))
-            jax.block_until_ready(logits)
+            _hard_sync(logits)
             n += 1
             g *= 2
         return n
@@ -780,7 +790,7 @@ class Engine:
             t0 = time.perf_counter()
             logits, ks, vs = self._prefill_fn(
                 self.params, jnp.asarray(padded), np.int32(t))
-            jax.block_until_ready(logits)
+            _hard_sync(logits)
             self.stats.prefill_s += time.perf_counter() - t0
             done.extend(self._install_sequences(
                 req, logits, ks[:, 0, :, :t], vs[:, 0, :, :t], t,
@@ -889,7 +899,7 @@ class Engine:
                 self.params, jnp.asarray(chunk), kb, vb,
                 jnp.asarray(starts), jnp.asarray(reals))
             if self._sync_debug:
-                jax.block_until_ready(logits)
+                _hard_sync(logits)
             self.stats.prefill_s += time.perf_counter() - t0
             budget -= int(reals.max())
             fin = []
@@ -1104,7 +1114,7 @@ class Engine:
                         self.cache.length(sid) + 1 - self.cfg.window)
 
         if self._sync_debug:
-            jax.block_until_ready(self.cache.k_tails)
+            _hard_sync(self.cache.k_tails)
         self.stats.flush_s += time.perf_counter() - t_flush
 
         t_book = time.perf_counter()
