@@ -2,6 +2,8 @@
 single-token steps, draft proposal, and engine transcript equivalence
 (speculation must never change greedy output)."""
 
+import re
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -238,3 +240,25 @@ def test_speculative_composes_with_moe(rng):
             [Request(prompt=list(prompt), max_new_tokens=6)])[0].tokens
 
     assert serve(speculative_k=3) == serve()
+
+
+@pytest.mark.slow
+def test_spec_oracle_cli_accepts_everything(capsys):
+    """serve-bench --spec-oracle 1.0: drafts from the pre-computed
+    transcript of the same requests must accept ~100% (the pre-run uses
+    the same speculative verify program, so argmax picks match exactly)
+    and the CLI reports the curve honestly."""
+    from flash_attention_tpu.cli import main
+
+    rc = main([
+        "serve-bench", "--model", "tiny", "--batch", "4", "--requests",
+        "8", "--prompt-len", "48", "--gen-len", "16", "--num-pages",
+        "32", "--page-size", "128", "--spec-k", "3", "--spec-oracle",
+        "1.0",
+    ])
+    out = capsys.readouterr().out
+    assert rc == 0
+    m = re.search(r"speculative: (\d+)/(\d+) drafts accepted", out)
+    assert m, out
+    acc, prop = int(m.group(1)), int(m.group(2))
+    assert prop > 0 and acc == prop, out  # oracle at P=1.0: all accepted
