@@ -67,7 +67,8 @@ timeout 1800 python -m flash_attention_tpu.cli decode-bench --model 8b \
 
 # Sequence sweep 2K->128K causal GQA (driver metric: TFLOP/s at seq 2K-128K)
 timeout 1500 python -m flash_attention_tpu.cli perf \
-    --configs 1,32,2048,128 1,32,8192,128 1,32,32768,128 1,32,131072,128 \
+    --configs 8,32,2048,128 1,32,2048,128 1,32,8192,128 1,32,32768,128 \
+    1,32,131072,128 \
     --kv-heads 8 --causal --warmup 2 --iters 4 2>&1 \
     | grep -v "Platform 'axon'" | tee benchmarks/seq_sweep
 
