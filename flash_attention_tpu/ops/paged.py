@@ -36,7 +36,7 @@ DEFAULT_PAGE_SIZE = 256
 
 def _paged_kernel(lengths_ref, starts_ref, pt_ref, q_ref, *rest, scale,
                   page_size, max_pages, quantized, save_stats,
-                  windowed=False, qpos_spread=1):
+                  windowed=False, qpos_spread=1, fold_scales=False):
     idx = 0
     k_ref, v_ref = rest[0], rest[1]
     idx = 2
@@ -68,7 +68,33 @@ def _paged_kernel(lengths_ref, starts_ref, pt_ref, q_ref, *rest, scale,
     @pl.when(in_range)
     def _compute():
         q = q_ref[0]                                 # [Hkv, G, D]
-        if quantized:
+        v = None
+        v_blocks = None
+        if quantized and fold_scales:
+            # int8 fast path (opt-in): skip the per-element dequant
+            # multiply entirely. int8 codes are exact in bf16, and the
+            # per-(token-block, channel) scales fold OUTSIDE the MXU:
+            # on the K side into q per block (s_blk = (q*sc_blk)@k_int),
+            # on the V side into each block's [Hkv, G, D] partial
+            # accumulator — O(G*D) multiplies per block instead of
+            # O(QUANT_BLOCK*D). VPU work per element drops from
+            # convert+mul+pack to one convert.
+            hkv, _, d = q.shape
+            nb = page_size // QUANT_BLOCK
+            k_i = k_ref[:, 0].astype(q.dtype)        # [Hkv, ps, D]
+            v_i = v_ref[:, 0].astype(q.dtype)
+            qf = q.astype(jnp.float32)
+            parts = []
+            for bi in range(nb):
+                qs = (qf * kscale_ref[:, 0, bi][:, None, :]
+                      ).astype(q.dtype)              # [Hkv, G, D]
+                parts.append(lax.dot_general(
+                    qs, k_i[:, bi * QUANT_BLOCK:(bi + 1) * QUANT_BLOCK],
+                    (((2,), (2,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32))
+            s = jnp.concatenate(parts, axis=2)       # [Hkv, G, ps]
+            v_blocks = (v_i, nb)
+        elif quantized:
             hkv, _, d = q.shape
             nb = page_size // QUANT_BLOCK
             # fp8 widens via the exact bit-plant trick (ops/quant.py
@@ -88,10 +114,11 @@ def _paged_kernel(lengths_ref, starts_ref, pt_ref, q_ref, *rest, scale,
         # MXU matmul per page keeps blocks fat (8 heads x 1 MB of KV per
         # DMA) — a per-(head, page) grid was dispatch-overhead-bound.
         # Unscaled scores; scale folded into exp2 (flash.py LOG2E note).
-        s = lax.dot_general(
-            q, k, (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )                                            # [Hkv, G, ps]
+        if v_blocks is None:
+            s = lax.dot_general(
+                q, k, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )                                        # [Hkv, G, ps]
         col = lax.broadcasted_iota(jnp.int32, s.shape, 2) + p * page_size
         s = jnp.where(col >= length, MASK_VALUE, s)
         if windowed:
@@ -120,10 +147,23 @@ def _paged_kernel(lengths_ref, starts_ref, pt_ref, q_ref, *rest, scale,
             jnp.sum(pr, axis=2, keepdims=True), l_prev.shape
         )
         m_scr[...] = m_new
-        acc_scr[...] = acc_scr[...] * alpha[:, :, :1] + lax.dot_general(
-            pr.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )                                            # [Hkv, G, D]
+        if v_blocks is not None:
+            v_i, nb_ = v_blocks
+            pv = jnp.zeros_like(acc_scr[...])
+            for bi in range(nb_):
+                lo = bi * QUANT_BLOCK
+                part = lax.dot_general(
+                    pr[:, :, lo:lo + QUANT_BLOCK].astype(v_i.dtype),
+                    v_i[:, lo:lo + QUANT_BLOCK],
+                    (((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32)
+                pv = pv + part * vscale_ref[:, 0, bi][:, None, :]
+            acc_scr[...] = acc_scr[...] * alpha[:, :, :1] + pv
+        else:
+            acc_scr[...] = acc_scr[...] * alpha[:, :, :1] + lax.dot_general(
+                pr.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )                                        # [Hkv, G, D]
 
     @pl.when(p == max_pages - 1)
     def _store():
@@ -138,12 +178,13 @@ def _paged_kernel(lengths_ref, starts_ref, pt_ref, q_ref, *rest, scale,
 
 @functools.partial(
     jax.jit, static_argnames=("scale", "interpret", "return_lse",
-                              "window", "qpos_spread"),
+                              "window", "qpos_spread", "fold_scales"),
 )
 def paged_flash_decode(q, k_pool, v_pool, page_table, lengths, *,
                        k_scales=None, v_scales=None, scale=None,
                        window=None, window_starts=None, qpos_spread=1,
-                       interpret=None, return_lse=False):
+                       interpret=None, return_lse=False,
+                       fold_scales=False):
     """Decode attention over paged KV pools.
 
     Args:
@@ -175,11 +216,26 @@ def paged_flash_decode(q, k_pool, v_pool, page_table, lengths, *,
         can LSE-merge this partial with attention over other segments
         (the hot-tail decode path in models/llama.py).
 
+      fold_scales: int8-only variant that skips the per-element dequant
+        multiply (scales fold into q per token-block on the K side and
+        into the per-block PV partials on the V side; int8 codes are
+        exact in bf16). Measured +3% at (64, 32q/8kv, 4K, int8) — the
+        multiply was already pipelined under the MXU dots; the
+        int8->bf16 convert, not the scaling, is the int8 path's VPU
+        cost. Kept as an opt-in measured experiment; numerics differ
+        from the default path only by bf16 rounding association
+        (max-abs ~1.5e-5 at 0.02-scale inputs).
+
     Returns [B, Hq, D], or (o, lse) with return_lse.
     """
     quantized = k_scales is not None
     if quantized != (v_scales is not None):
         raise ValueError("k_scales and v_scales must be given together")
+    if fold_scales and (not quantized or
+                        jnp.dtype(k_pool.dtype) != jnp.dtype(jnp.int8)):
+        raise ValueError(
+            "fold_scales is the int8 fast path: requires int8 pools "
+            "with k_scales/v_scales (fp8 needs the bit-plant widen)")
     batch, hq, d = q.shape
     hkv, num_pages, page_size, _ = k_pool.shape
     if hq % hkv:
@@ -252,6 +308,7 @@ def paged_flash_decode(q, k_pool, v_pool, page_table, lengths, *,
             max_pages=max_pages, quantized=quantized,
             save_stats=return_lse, windowed=windowed,
             qpos_spread=qpos_spread if windowed else 1,
+            fold_scales=fold_scales,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,

@@ -254,3 +254,40 @@ def test_paged_window_quantized(rng):
     ref = paged_decode_reference(q, kq, vq, table, lengths,
                                  k_scales=ks, v_scales=vs, window=200)
     assert verify(out, ref).passed
+
+
+def test_fold_scales_matches_standard_int8(rng):
+    """int8 fold_scales fast path == default dequant path within bf16
+    rounding (association differs; values don't). fp8 pools reject."""
+    from flash_attention_tpu.ops.quant import QUANT_BLOCK
+
+    hkv, pages, ps, d, b, hq = 4, 6, 256, 64, 3, 8
+    kf = rng.normal(0, 0.02, (hkv, pages, ps, d)).astype(np.float32)
+    vf = rng.normal(0, 0.02, (hkv, pages, ps, d)).astype(np.float32)
+
+    def quant(x):
+        xr = x.reshape(hkv, pages, ps // QUANT_BLOCK, QUANT_BLOCK, d)
+        sc = np.maximum(np.abs(xr).max(axis=3, keepdims=True) / 127.0,
+                        1e-8)
+        q = np.clip(np.round(xr / sc), -127, 127).astype(np.int8)
+        return (jnp.asarray(q.reshape(hkv, pages, ps, d)),
+                jnp.asarray(sc[..., 0, :], jnp.float32))
+
+    kq, ksc = quant(kf)
+    vq, vsc = quant(vf)
+    q = jnp.asarray(rng.normal(0, 0.02, (b, hq, d)), jnp.bfloat16)
+    tbl = jnp.asarray(
+        rng.permutation(pages)[:b * 2].reshape(b, 2), jnp.int32)
+    lens = jnp.asarray([300, 130, 512], jnp.int32)
+
+    o_std = paged_flash_decode(q, kq, vq, tbl, lens,
+                               k_scales=ksc, v_scales=vsc)
+    o_fold = paged_flash_decode(q, kq, vq, tbl, lens,
+                                k_scales=ksc, v_scales=vsc,
+                                fold_scales=True)
+    np.testing.assert_allclose(
+        np.asarray(o_std, np.float32), np.asarray(o_fold, np.float32),
+        atol=5e-5)
+    with pytest.raises(ValueError, match="int8 fast path"):
+        paged_flash_decode(q, jnp.asarray(kf), vq, tbl, lens,
+                           k_scales=ksc, v_scales=vsc, fold_scales=True)
