@@ -652,6 +652,13 @@ def cmd_serve_bench(args):
     overrides = {}
     if getattr(args, "model_layers", None):
         overrides["n_layers"] = args.model_layers
+    if getattr(args, "window", None):
+        # Sliding-window override on any preset: the windowed serving
+        # runtime (rolling prefill buffer, O(window) page eviction) is
+        # model-size-independent, so small presets can carry the
+        # long-context window artifacts that 7B-class weights + per-task
+        # rolling buffers cannot fit beside on one 16 GB chip.
+        overrides["window"] = args.window
     cfg = getattr(LlamaConfig, _PRESETS[args.model])(
         dtype=jnp.bfloat16, **overrides)
     if args.weight_quant:
@@ -1020,6 +1027,9 @@ def main(argv=None):
     ps_.add_argument("--trace", action="store_true",
                      help="print a per-step wall-time breakdown "
                           "(kind histogram + slowest steps)")
+    ps_.add_argument("--window", type=int, default=None,
+                     help="sliding-window override for the preset "
+                          "(positions per layer each query can see)")
     ps_.add_argument("--spec-oracle", type=float, default=None,
                      metavar="P",
                      help="draft from a pre-computed greedy transcript "

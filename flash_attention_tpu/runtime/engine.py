@@ -547,6 +547,14 @@ class Engine:
         if not (self.prefill_chunk
                 or (self.prefix_cache and cached_tokens)):
             return 0
+        if self.cfg.window is not None and self._wbuf is not None:
+            # Windowed chunked prefill uses the fixed-width rolling-
+            # buffer program (one compile shape for every prompt
+            # length) — there is no bucket ladder to warm, and
+            # allocating bucket-width [L, g, hkv, prompt_bucket, D]
+            # buffers here OOMs at long prompts the windowed path
+            # would never materialize.
+            return 0
         tb = _bucket(prompt_len)
         span = tb - cached_tokens
         if span <= 0:

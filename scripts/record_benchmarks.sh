@@ -142,6 +142,15 @@ timeout 1800 python -m flash_attention_tpu.cli serve-bench --model 8b \
     --decode-chunk 8 2>&1 \
     | grep -v "Platform 'axon'" | tee benchmarks/serve_bench_8b_int4
 
+# Windowed serving at long context: page occupancy must be O(window)
+# (65 of 96 pages for 4 live 16K-context seqs at window 4096 vs ~260
+# full-causal)
+timeout 1400 python -m flash_attention_tpu.cli serve-bench --model 1b \
+    --window 4096 --batch 4 --requests 8 --prompt-len 16384 \
+    --gen-len 32 --num-pages 96 --page-size 256 --prefill-chunk 1024 \
+    --decode-chunk 8 2>&1 \
+    | grep -v "Platform 'axon'" | tee benchmarks/serve_bench_1b_16k_window4k
+
 # Long-context prefill 32K/128K + int8-KV row (BASELINE config 5, one chip)
 timeout 1200 python scripts/record_long_context.py 2>&1 \
     | grep -v "Platform 'axon'" | tee benchmarks/long_context_prefill
