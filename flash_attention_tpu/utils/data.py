@@ -153,3 +153,19 @@ class BatchLoader:
             self._stop.set()
         except Exception:
             pass
+
+
+def microbatched(batches, n_microbatches: int):
+    """Adapt a [B, T] batch iterator to the pipeline trainer's
+    [n_microbatches, B/n_microbatches, T] layout (Trainer
+    family="pipeline" consumes microbatched tokens; GPipe/1F1B scan
+    over dim 0). Deterministic-resume composes: the reshape is a pure
+    function of each yielded batch."""
+    for tokens in batches:
+        b = tokens.shape[0]
+        if b % n_microbatches:
+            raise ValueError(
+                f"batch {b} not divisible by n_microbatches "
+                f"{n_microbatches}")
+        yield tokens.reshape(n_microbatches, b // n_microbatches,
+                             *tokens.shape[1:])

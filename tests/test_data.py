@@ -86,3 +86,27 @@ def test_trainer_fit_from_loader(shards, tmp_path):
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0]
     loader.close()
+
+
+def test_microbatched_reshapes_for_pipeline(tmp_path):
+    """BatchLoader -> microbatched -> pipeline Trainer layout."""
+    import numpy as np
+
+    from flash_attention_tpu.utils.data import (
+        BatchLoader, TokenShardDataset, microbatched, write_token_shard,
+    )
+
+    path = tmp_path / "shard.bin"
+    write_token_shard(path, np.arange(4096, dtype=np.int32))
+    ds = TokenShardDataset([path], seq_len=32)
+    loader = BatchLoader(ds, batch=8, seed=3)
+    it = microbatched(iter(loader), 4)
+    mb = next(it)
+    assert mb.shape == (4, 2, 32)
+    # Pure reshape of the underlying batch: same rows, grouped.
+    loader2 = BatchLoader(ds, batch=8, seed=3)
+    flat = next(iter(loader2))
+    np.testing.assert_array_equal(mb.reshape(8, 32), flat)
+    import pytest
+    with pytest.raises(ValueError, match="not divisible"):
+        next(microbatched(iter([np.zeros((6, 4), np.int32)]), 4))

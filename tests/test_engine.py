@@ -397,3 +397,17 @@ def test_engine_precompile_chunked_prefill(params, rng):
     assert {c.prompt_len: c.tokens for c in out} == want
     # no-op when chunked prefill is off
     assert make_engine(params).precompile_chunked_prefill(200) == 0
+
+
+def test_engine_step_trace(params, rng):
+    """Engine.trace records (t_start, dur, kind, live, pending,
+    prefilling) per step; serve-bench --trace renders it."""
+    eng = make_engine(params, decode_chunk=2)
+    eng.trace = []
+    eng.run([Request(prompt=list(rng.integers(0, CFG.vocab_size, 12)),
+                     max_new_tokens=4)])
+    assert eng.trace, "no steps traced"
+    kinds = {t[2] for t in eng.trace}
+    assert "decode" in kinds
+    for t in eng.trace:
+        assert len(t) == 6 and t[1] >= 0.0
