@@ -312,7 +312,7 @@ def cmd_decode_bench(args):
         kv_bytes = 1
 
     fn = jax.jit(lambda q, kp, vp, t, l: paged_flash_decode(
-        q, kp, vp, t, l, **scales))
+        q, kp, vp, t, l, fold_scales=args.fold_scales, **scales))
     t = measure(fn, q, k_pool, v_pool, tables, lengths,
                 warmup=args.warmup, iters=args.iters)
     live_bytes = 2 * b * hkv * ctx * d * kv_bytes
@@ -946,6 +946,10 @@ def main(argv=None):
     pd.add_argument("--page-size", type=int, default=256)
     pd.add_argument("--kv-dtype", default="bfloat16",
                     choices=["bfloat16", "int8", "fp8", "fp8_e5m2"])
+    pd.add_argument("--fold-scales", action="store_true",
+                    help="int8-only kernel variant folding dequant "
+                         "scales around the MXU (measured +3%%; see "
+                         "ops/paged.py docstring)")
     pd.add_argument("--model", default=None,
                     choices=[None, "tiny", "1b", "8b", "mixtral"])
     pd.add_argument("--model-layers", type=int, default=None,
