@@ -79,7 +79,8 @@ class Completion:
     request_id: int
     prompt_len: int
     tokens: list                      # generated token ids
-    finish_reason: str                # "stop" | "length"
+    finish_reason: str                # "stop" | "length" | "rejected"
+    error: str | None = None          # reason text when rejected
     branch: int = 0                   # which of the request's n samples
     ttft_s: float | None = None       # submit -> first token (branch 0)
 
@@ -133,6 +134,7 @@ class EngineStats:
     spec_proposed: int = 0            # draft tokens offered
     spec_accepted: int = 0            # draft tokens confirmed
     engine_steps: int = 0
+    rejected: int = 0                 # infeasible requests rejected
     peak_pages: int = 0               # max pages in use at any step
     prefill_s: float = 0.0
     decode_s: float = 0.0
@@ -602,10 +604,82 @@ class Engine:
                     [logits[i:i + 1] for i in range(g)])
                 self._sample_batch(lg, np.zeros(g, np.float32),
                                    np.zeros(g, np.float32))
+                # Warm the temp>0 sampling program too (top-p sort +
+                # categorical at [g, vocab]) — a mixed-temperature
+                # finishing group otherwise compiles it mid-serve.
+                self._sample_batch(lg, np.full(g, 0.5, np.float32),
+                                   np.zeros(g, np.float32))
             _hard_sync(logits)
             n += 1
             g *= 2
         return n
+
+    def precompile_decode(self) -> int:
+        """Warm the decode-path executable at EVERY page-table bucket
+        width (8, 64, max_pages): _step_decode buckets the table width
+        by live pages, so a context growing past a bucket boundary
+        (e.g. the 9th page) otherwise hits a cold Mosaic compile
+        mid-serve — the same TTFT poisoning precompile_chunked_prefill
+        exists to prevent. Warms whichever decode program this engine
+        is configured to use (plain, fused-chunk, or speculative
+        verify). Call while the engine is idle: the dummy dispatch
+        writes garbage into tail position 0 of every slot, which is
+        harmless only because a fresh sequence always rewrites its tail
+        span before reading it. Returns the number of programs built."""
+        B = self.max_batch
+        widths = sorted({w for w in (8, 64, self.max_pages)
+                         if w <= self.max_pages})
+        zl = jnp.zeros((B,), jnp.int32)
+        temps = jnp.zeros((B,), jnp.float32)
+        top_ps = jnp.zeros((B,), jnp.float32)
+        n = 0
+        for w in widths:
+            tables = jnp.zeros((B, w), jnp.int32)
+            if self.speculative_k:
+                toks = jnp.zeros((B, self.speculative_k + 1), jnp.int32)
+                out, _, self.cache.k_tails, self.cache.v_tails = \
+                    self._spec_fn(
+                        self.params, toks, self.cache.k_pools,
+                        self.cache.v_pools, self.cache.k_tails,
+                        self.cache.v_tails, tables, zl, zl, zl,
+                        self.cache.k_scale_pools,
+                        self.cache.v_scale_pools, temps, top_ps,
+                        self._next_key())
+            elif self.decode_chunk > 1:
+                out, self.cache.k_tails, self.cache.v_tails = \
+                    self._decode_chunk_fn(
+                        self.params, zl, self.cache.k_pools,
+                        self.cache.v_pools, self.cache.k_tails,
+                        self.cache.v_tails, tables, zl, zl, zl,
+                        self.cache.k_scale_pools,
+                        self.cache.v_scale_pools, temps, top_ps,
+                        self._next_key())
+            else:
+                out, self.cache.k_tails, self.cache.v_tails = \
+                    self._decode_fn(
+                        self.params, zl, self.cache.k_pools,
+                        self.cache.v_pools, self.cache.k_tails,
+                        self.cache.v_tails, tables, zl, zl, zl,
+                        self.cache.k_scale_pools,
+                        self.cache.v_scale_pools)
+                self._sample_batch(out, np.zeros(B, np.float32),
+                                   np.zeros(B, np.float32))
+            _hard_sync(out)
+            n += 1
+        return n
+
+    def probe_prefix(self, prompt) -> int:
+        """How many PROMPT TOKENS the prefix cache would serve for this
+        prompt right now (pages are matched then immediately released —
+        no state change). Lets harnesses warm the exact suffix compile
+        shape the engine will dispatch instead of re-deriving the
+        allocator's page rounding."""
+        if not self.prefix_cache:
+            return 0
+        pages, _ = self.cache.match_prefix(np.asarray(prompt, np.int32))
+        if pages:
+            self.cache.release_pages(pages)
+        return len(pages) * self.cache.page_size
 
     @property
     def num_active(self) -> int:
@@ -678,17 +752,24 @@ class Engine:
                     (worst - self.cache.pages_for(max(t, 1))) + 1
                 too_long = t + req.max_new_tokens > self.max_seq_len
             need = worst + (n - 1) * branch_worst
-            # Infeasible requests must be REJECTED (popped + raised), not
-            # left at the FIFO head where they would wedge the engine or
-            # spin run() forever.
+            # Infeasible requests are REJECTED as failed *completions*
+            # (finish_reason="rejected"), never raised: an exception out
+            # of step() would lose every completion run() had already
+            # collected and leave the engine mid-flight. Fail the
+            # request, keep the server.
             if too_long or n > self.max_batch or need > total_usable:
                 self.pending.popleft()
-                raise ValueError(
-                    f"request {req.request_id} is infeasible for this "
-                    f"engine: prompt {t} + max_new {req.max_new_tokens} "
-                    f"(max_seq_len {self.max_seq_len}), n={n} "
-                    f"(max_batch {self.max_batch}), worst-case pages "
-                    f"{need} (usable {total_usable})")
+                reason = (
+                    f"infeasible for this engine: prompt {t} + max_new "
+                    f"{req.max_new_tokens} (max_seq_len "
+                    f"{self.max_seq_len}), n={n} (max_batch "
+                    f"{self.max_batch}), worst-case pages {need} "
+                    f"(usable {total_usable})")
+                self.stats.rejected += 1
+                done.append(Completion(
+                    request_id=req.request_id, prompt_len=t, tokens=[],
+                    finish_reason="rejected", error=reason))
+                continue
             # Prefix-cache probe (pages acquired; released on any
             # admission failure below). Feasibility above deliberately
             # ignored the discount: a request must fit a COLD cache.

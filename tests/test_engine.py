@@ -121,21 +121,51 @@ def test_engine_temperature_sampling_runs(params, rng):
 
 
 def test_engine_rejects_oversized_request(params):
-    """Infeasible requests are popped and rejected — the queue must not
-    wedge, and later valid requests still serve."""
+    """Infeasible requests fail as rejected COMPLETIONS, never as an
+    exception out of step()/run() — the server survives the request."""
     eng = make_engine(params, num_pages=4)
     eng.submit(Request(prompt=[1] * 10, max_new_tokens=10_000))
-    with pytest.raises(ValueError, match="infeasible"):
-        eng.step()
+    done = eng.step()
+    (rej,) = [c for c in done if c.finish_reason == "rejected"]
+    assert rej.tokens == [] and "infeasible" in rej.error
     assert not eng.pending              # rejected request was dequeued
     # n > max_batch is also infeasible, not an infinite admission wait.
     eng.submit(Request(prompt=[1] * 4, max_new_tokens=2,
                        n=eng.max_batch + 1))
-    with pytest.raises(ValueError, match="infeasible"):
-        eng.step()
-    # The engine still serves valid work afterwards.
-    (c,) = eng.run([Request(prompt=[1, 2, 3], max_new_tokens=2)])
-    assert len(c.tokens) == 2
+    (rej2,) = [c for c in eng.step() if c.finish_reason == "rejected"]
+    assert "infeasible" in rej2.error
+    assert eng.stats.rejected == 2
+    # A mixed batch through run(): feasible requests complete normally,
+    # the infeasible one comes back rejected, nothing is lost.
+    out = eng.run([
+        Request(prompt=[1, 2, 3], max_new_tokens=2),
+        Request(prompt=[2] * 10, max_new_tokens=10_000),
+        Request(prompt=[4, 5], max_new_tokens=2),
+    ])
+    assert len(out) == 3
+    ok = [c for c in out if c.finish_reason != "rejected"]
+    bad = [c for c in out if c.finish_reason == "rejected"]
+    assert len(ok) == 2 and all(len(c.tokens) == 2 for c in ok)
+    assert len(bad) == 1 and bad[0].prompt_len == 10
+
+
+def test_precompile_decode_keeps_transcripts(params, rng):
+    """precompile_decode's dummy dispatches (garbage tail writes) must
+    not perturb later transcripts; probe_prefix must not leak pages."""
+    prompt = list(rng.integers(0, CFG.vocab_size, 7))
+    eng = make_engine(params, prefix_cache=True)
+    assert eng.precompile_decode() >= 1
+    free0 = eng.cache.free_pages
+    assert eng.probe_prefix(prompt) == 0        # cold cache, no hit
+    assert eng.cache.free_pages == free0        # pages released
+    (c,) = eng.run([Request(prompt=prompt, max_new_tokens=4)])
+    assert c.tokens == ref_greedy(params, prompt, 4)
+    # After serving, the prompt's pages are cached; probe reports the
+    # page-aligned hit without consuming pages.
+    free1 = eng.cache.free_pages
+    hit = eng.probe_prefix(prompt + [1, 2, 3])
+    assert hit % PAGE == 0
+    assert eng.cache.free_pages == free1
 
 
 def test_engine_tail_flush_exactness(params, rng):
