@@ -721,10 +721,18 @@ def cmd_serve_bench(args):
         pre_reqs = [Request(prompt=list(p), max_new_tokens=args.gen_len)
                     for p in measured]
         by_id = {r.request_id: r.prompt for r in pre_reqs}
+        # Key by the FULL prompt (every measured prompt has the same
+        # length `plen`): a 16-token prefix key collides for every
+        # request when --shared-prefix >= 16, and never matches when
+        # prompt_len < 16 (history[:16] would include generated tokens)
+        # — either way drafts silently degrade to garbage. Identical
+        # prompts colliding is harmless (greedy transcripts coincide).
+        plen = len(shared) + tail
         oracle = {}
         for c in pre.run(pre_reqs):
             p = by_id[c.request_id]
-            oracle[tuple(int(x) for x in p[:16])] = \
+            assert len(p) == plen
+            oracle[tuple(int(x) for x in p)] = \
                 [int(x) for x in p] + [int(x) for x in c.tokens]
         del pre_reqs
         del pre
@@ -735,7 +743,7 @@ def cmd_serve_bench(args):
         vocab = cfg.vocab_size
 
         def draft_fn(history, k):
-            full = oracle.get(tuple(int(x) for x in history[:16]))
+            full = oracle.get(tuple(int(x) for x in history[:plen]))
             pos = len(history)
             cont = list(full[pos:pos + k]) if full else []
             while len(cont) < k:
@@ -761,17 +769,20 @@ def cmd_serve_bench(args):
     eng.run(make_reqs(min(args.batch + 1, args.requests)))
     if args.prefill_chunk or args.prefix_cache:
         eng.precompile_chunked_prefill(args.prompt_len)
-        if args.prefix_cache and args.shared_prefix:
+        if args.prefix_cache and args.shared_prefix and queue:
             # Warm the suffix-task shape too: a hit of `cached` tokens
             # dispatches chunks sized from the suffix span, and any
             # group size not compiled here stalls the serve on a
-            # mid-run compile.
-            cached = min((args.prompt_len - 1) // args.page_size,
-                         args.shared_prefix // args.page_size)
+            # mid-run compile. The hit length comes from an ENGINE
+            # probe on the next measured prompt (pages matched then
+            # released) — re-deriving the allocator's page rounding in
+            # the CLI silently warmed the wrong shape when they
+            # disagreed.
+            cached = eng.probe_prefix(queue[0])
             if cached:
                 eng.precompile_chunked_prefill(
-                    args.prompt_len,
-                    cached_tokens=cached * args.page_size)
+                    args.prompt_len, cached_tokens=cached)
+    eng.precompile_decode()
     import dataclasses as _dc
     base = _dc.replace(eng.stats)
     n_ttft_base = len(eng.stats.ttft_s)
