@@ -661,16 +661,40 @@ def cmd_serve_bench(args):
         overrides["window"] = args.window
     cfg = getattr(LlamaConfig, _PRESETS[args.model])(
         dtype=jnp.bfloat16, **overrides)
+    wdt = None
     if args.weight_quant:
+        wdt = {"int8": jnp.int8, "int4": "int4",
+               "fp8": jnp.float8_e4m3fn}[args.weight_quant]
+    if getattr(args, "load", None):
+        from flash_attention_tpu.utils.safetensors import (
+            params_from_safetensors,
+        )
+        params = params_from_safetensors(
+            args.load, cfg, layout="hf", quantize=wdt)
+    elif wdt is not None:
         from flash_attention_tpu.models.quantized import (
             init_quantized_params,
         )
-        wdt = {"int8": jnp.int8, "int4": "int4",
-               "fp8": jnp.float8_e4m3fn}[args.weight_quant]
         params = init_quantized_params(cfg, jax.random.PRNGKey(0),
                                        dtype=wdt)
     else:
         params = init_params(cfg, jax.random.PRNGKey(0))
+
+    draft_params = draft_cfg = None
+    if getattr(args, "draft_dim", None):
+        draft_cfg = LlamaConfig(
+            vocab_size=cfg.vocab_size, dim=args.draft_dim,
+            n_layers=args.draft_layers, n_heads=args.draft_heads,
+            n_kv_heads=args.draft_kv_heads, ffn_dim=args.draft_ffn,
+            dtype=jnp.bfloat16)
+        if args.draft_load:
+            from flash_attention_tpu.utils.safetensors import (
+                params_from_safetensors,
+            )
+            draft_params = params_from_safetensors(
+                args.draft_load, draft_cfg, layout="hf")
+        else:
+            draft_params = init_params(draft_cfg, jax.random.PRNGKey(1))
     rng = np.random.default_rng(42)
     kvq = {"int8": jnp.int8, "fp8": jnp.float8_e4m3fn,
            None: None, "none": None}[args.kv_quant]
@@ -685,10 +709,35 @@ def cmd_serve_bench(args):
     # transcripts before the speculative engine sees them.
     tail = max(args.prompt_len - len(shared), 1)
     n_warm = min(args.batch + 1, args.requests)
-    all_prompts = [
-        shared + list(rng.integers(0, cfg.vocab_size, tail))
-        for _ in range(n_warm + args.requests)
-    ]
+    if getattr(args, "corpus", None):
+        # Structured workload: walk the fixed permutation chain (the
+        # "language" scripts/train_spec_pair.py trains on). Prompts
+        # never self-repeat within a window shorter than the chain
+        # period, so n-gram prompt-lookup drafts get ~0% acceptance
+        # while a TRAINED draft model carries the global next-token
+        # function — the workload that separates model-based drafting
+        # from lookup drafting.
+        kind, _, size = args.corpus.partition(":")
+        if kind != "chain":
+            raise SystemExit(f"unknown --corpus kind {kind!r}")
+        csize = int(size or 4096)
+        perm = np.random.default_rng(1234).permutation(csize)
+
+        def chain_prompt(n):
+            t = int(rng.integers(0, csize))
+            out = []
+            for _ in range(n):
+                out.append(int(t))
+                t = int(perm[t])
+            return out
+
+        all_prompts = [chain_prompt(args.prompt_len)
+                       for _ in range(n_warm + args.requests)]
+    else:
+        all_prompts = [
+            shared + list(rng.integers(0, cfg.vocab_size, tail))
+            for _ in range(n_warm + args.requests)
+        ]
     queue = list(all_prompts)
 
     def make_reqs(n):
@@ -759,7 +808,8 @@ def cmd_serve_bench(args):
                  decode_chunk=1 if args.spec_k else args.decode_chunk,
                  prefill_chunk=args.prefill_chunk,
                  prefix_cache=args.prefix_cache,
-                 speculative_k=args.spec_k, draft_fn=draft_fn)
+                 speculative_k=args.spec_k, draft_fn=draft_fn,
+                 draft_params=draft_params, draft_cfg=draft_cfg)
 
     # Warmup round compiles prefill/decode/flush programs; the engine is
     # then reused so the measured round is compile-free. Open-loop
@@ -1051,6 +1101,27 @@ def main(argv=None):
                           "with per-token survival prob P (mechanism "
                           "benchmark: acceptance as a controlled knob); "
                           "requires --spec-k")
+    ps_.add_argument("--load", default=None,
+                     help="load MAIN weights from a safetensors "
+                          "file/dir (HF Llama layout; composes with "
+                          "--weight-quant as quantize-on-load)")
+    ps_.add_argument("--draft-load", default=None,
+                     help="model-based drafting: load the DRAFT model "
+                          "from safetensors (requires --spec-k and the "
+                          "--draft-* shape flags)")
+    ps_.add_argument("--draft-dim", type=int, default=None,
+                     help="draft model width (enables model-based "
+                          "drafts; random init unless --draft-load)")
+    ps_.add_argument("--draft-layers", type=int, default=4)
+    ps_.add_argument("--draft-heads", type=int, default=8)
+    ps_.add_argument("--draft-kv-heads", type=int, default=8)
+    ps_.add_argument("--draft-ffn", type=int, default=2048)
+    ps_.add_argument("--corpus", default=None, metavar="chain:SIZE",
+                     help="prompt workload: 'chain:N' walks the fixed "
+                          "seed-1234 permutation over the first N token "
+                          "ids (the structured language "
+                          "scripts/train_spec_pair.py trains on) "
+                          "instead of uniform-random prompts")
     ps_.set_defaults(fn=cmd_serve_bench)
 
     pf = sub.add_parser("profile",

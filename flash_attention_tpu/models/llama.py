@@ -822,12 +822,39 @@ def prefill(params, tokens, cfg: LlamaConfig, cache):
     return logits, new_cache, lengths
 
 
-def decode_step(params, token, cfg: LlamaConfig, cache, lengths):
+def _xla_cache_attention(q, ck, cv, lengths, scale, window=None):
+    """Masked attention of q [B, Hq, D] over contiguous caches
+    [B, Hkv, S, D], visible positions [max(0, len-window), len).
+    Plain jnp on purpose: the caller scatters into ck/cv in the same
+    program, and keeping the consumer OUT of a Pallas custom call is
+    what lets XLA keep that scatter in place (see _tail_attention's
+    design note) — this is the draft-model decode path, where the
+    cache is re-scattered every scan step."""
+    b, hq, d = q.shape
+    hkv = ck.shape[1]
+    qg = q.reshape(b, hkv, hq // hkv, d).astype(jnp.float32)
+    s = jnp.einsum("bhgd,bhsd->bhgs", qg,
+                   ck.astype(jnp.float32)) * scale
+    col = jnp.arange(ck.shape[2])[None, None, None, :]
+    bad = col >= lengths[:, None, None, None]
+    if window is not None:
+        bad = bad | (col < (lengths - window)[:, None, None, None])
+    s = jnp.where(bad, -jnp.inf, s)
+    p = jax.nn.softmax(s, axis=-1)
+    o = jnp.einsum("bhgs,bhsd->bhgd", p, cv.astype(jnp.float32))
+    return o.reshape(b, hq, d)
+
+
+def decode_step(params, token, cfg: LlamaConfig, cache, lengths, *,
+                use_flash: bool = True):
     """One decode step. token: [B] ids; returns (logits [B, vocab],
-    cache, lengths+1)."""
+    cache, lengths+1). use_flash=False keeps attention in plain XLA
+    ops so the per-step cache scatter stays in place inside a scan
+    (the fused draft-model loop)."""
     b = token.shape[0]
     positions = lengths[:, None]                      # [B, 1]
     x = params["embed"][token][:, None]               # [B, 1, D]
+    scale = 1.0 / float(np.sqrt(cfg.head_dim))
     new_cache = []
     for layer, (ck, cv) in zip(params["layers"], cache):
         h = rmsnorm(x, layer["attn_norm"], cfg.norm_eps)
@@ -838,11 +865,16 @@ def decode_step(params, token, cfg: LlamaConfig, cache, lengths):
         k = rope(k, positions, cfg.rope_theta)
         # Write the new token at its position in the cache.
         bidx = jnp.arange(b)
-        ck = ck.at[bidx, :, lengths].set(k[:, :, 0])
-        cv = cv.at[bidx, :, lengths].set(v[:, :, 0])
+        ck = ck.at[bidx, :, lengths].set(k[:, :, 0].astype(ck.dtype))
+        cv = cv.at[bidx, :, lengths].set(v[:, :, 0].astype(cv.dtype))
         new_cache.append((ck, cv))
-        o = flash_decode(q[:, :, 0], ck, cv, lengths + 1,
-                         window=cfg.window)[:, :, None]
+        if use_flash:
+            o = flash_decode(q[:, :, 0], ck, cv, lengths + 1,
+                             window=cfg.window)[:, :, None]
+        else:
+            o = _xla_cache_attention(
+                q[:, :, 0], ck, cv, lengths + 1, scale,
+                window=cfg.window).astype(x.dtype)[:, :, None]
         x = x + _mm("bhtk,hkd->btd", o, layer["wo"])
         x = x + _mlp_block(layer, x, cfg)
     x = rmsnorm(x, params["final_norm"], cfg.norm_eps)

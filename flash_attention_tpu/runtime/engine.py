@@ -44,8 +44,10 @@ import numpy as np
 
 from flash_attention_tpu.models.llama import (
     LlamaConfig,
+    decode_step,
     decode_step_paged,
     decode_step_paged_multi,
+    init_kv_cache,
     prefill_chunk_step,
     prefill_kv,
     prefill_window_chunk_step,
@@ -138,6 +140,7 @@ class EngineStats:
     peak_pages: int = 0               # max pages in use at any step
     prefill_s: float = 0.0
     decode_s: float = 0.0
+    draft_s: float = 0.0              # draft-model scan dispatches
     # Wall-time breakdown of the non-dispatch engine step (observability
     # for serving-latency diagnosis; `serve-bench --trace` prints it):
     admit_s: float = 0.0              # _try_admit (incl. prefix probes)
@@ -211,8 +214,9 @@ class Engine:
                  tail_size: int | None = None, kv_quant_dtype=None,
                  decode_chunk: int = 1, prefill_chunk: int | None = None,
                  prefix_cache: bool = False, speculative_k: int = 0,
-                 max_decode_stall: int = 4, draft_fn=None, mesh=None,
-                 seed: int = 0):
+                 max_decode_stall: int = 4, draft_fn=None,
+                 draft_params=None, draft_cfg=None, draft_max_seq=None,
+                 mesh=None, seed: int = 0):
         self.params = params
         self.cfg = cfg
         self.max_batch = max_batch
@@ -328,6 +332,15 @@ class Engine:
         # equality.
         self.speculative_k = max(0, int(speculative_k))
         self.draft_fn = draft_fn or propose_ngram_draft
+        # Optional richer draft protocol: draft_fn(history, k,
+        # request_id=...) — lets harness oracles key by request
+        # identity instead of re-deriving it from the history.
+        import inspect
+        try:
+            self._draft_takes_id = "request_id" in \
+                inspect.signature(self.draft_fn).parameters
+        except (TypeError, ValueError):
+            self._draft_takes_id = False
         if self.speculative_k:
             if decode_chunk > 1:
                 raise ValueError(
@@ -335,6 +348,82 @@ class Engine:
                     "exclusive decode strategies")
             if self.speculative_k + 1 >= self.cache.tail_size:
                 raise ValueError("speculative_k + 1 must be < tail_size")
+
+        # Model-based drafting: a small Llama-class draft model shares
+        # the engine loop with its own per-slot contiguous KV cache.
+        # Each engine step runs ONE fused dispatch of k+1 draft decode
+        # steps (a lax.scan feeding greedy tokens back — the per-slot
+        # host `draft_fn` protocol cannot batch this), then the normal
+        # speculative verify. The (k+1)-th draft step is compute whose
+        # output is discarded: it ingests the k-th draft's KV so the
+        # all-accepted case leaves no hole in the draft cache. Draft
+        # cache invariant between steps: rows [0, _draft_len[b]) hold KV
+        # for every transcript token EXCEPT the pending next_token;
+        # after a verify accepting `a` drafts, _draft_len += a + 1 (the
+        # scan wrote positions len..len+k, of which len..len+a are now
+        # confirmed; rejected rows above are overwritten by the next
+        # scan before they are ever unmasked). Greedy (point-mass)
+        # drafts keep speculative_sample's exactness guarantee, so the
+        # draft model can be ARBITRARILY wrong without changing any
+        # transcript — quality only moves the acceptance rate.
+        self.draft_params = draft_params
+        self.draft_cfg = draft_cfg
+        if draft_params is not None:
+            if not self.speculative_k:
+                raise ValueError("draft_params requires speculative_k")
+            if draft_cfg is None:
+                raise ValueError("draft_params requires draft_cfg")
+            if mesh is not None:
+                raise NotImplementedError(
+                    "model-based drafts under TP serving: run the "
+                    "draft replicated outside the mesh (future work)")
+            S = int(draft_max_seq or min(self.max_seq_len, 8192))
+            self._draft_S = S
+            self._draft_caches = init_kv_cache(draft_cfg, max_batch, S)
+            self._draft_len = np.zeros(max_batch, np.int32)
+            k = self.speculative_k
+            dcfg = draft_cfg
+
+            def _draft_scan(dparams, tok0, caches, lens):
+                lens = jnp.minimum(lens, S - (k + 2))
+
+                def body(carry, _):
+                    tok, caches, lens = carry
+                    logits, caches, lens = decode_step(
+                        dparams, tok, dcfg, caches, lens,
+                        use_flash=False)
+                    nxt = jnp.argmax(logits, -1).astype(jnp.int32)
+                    return (nxt, caches, lens), nxt
+
+                (_, caches, _), drafts = jax.lax.scan(
+                    body, (tok0, caches, lens), None, length=k + 1)
+                return jnp.moveaxis(drafts, 0, 1)[:, :k], caches
+
+            self._draft_scan_fn = jax.jit(
+                _draft_scan, donate_argnums=(2,))
+
+            def _draft_prefill(dparams, tokens, true_len):
+                _, ks, vs = prefill_kv(dparams, tokens, dcfg,
+                                       true_len=true_len)
+                return ks, vs
+
+            self._draft_prefill_fn = jax.jit(_draft_prefill)
+
+            def _draft_install(caches, ks, vs, slot):
+                # ks/vs: [L, 1, Hkv, tb, D]; rows past the true length
+                # are pad garbage, masked by _draft_len until each is
+                # overwritten by the scan's sequential writes.
+                out = []
+                for li, (ck, cv) in enumerate(caches):
+                    ck = jax.lax.dynamic_update_slice(
+                        ck, ks[li].astype(ck.dtype), (slot, 0, 0, 0))
+                    cv = jax.lax.dynamic_update_slice(
+                        cv, vs[li].astype(cv.dtype), (slot, 0, 0, 0))
+                    out.append((ck, cv))
+                return out
+
+            self._draft_install_fn = jax.jit(
+                _draft_install, donate_argnums=(0,))
 
         # --- TP sharding (mesh mode) ---------------------------------
         # Engine under a mesh: params laid out per
@@ -917,6 +1006,7 @@ class Engine:
         if ttft is not None:
             self.stats.ttft_s.append(ttft)
 
+        installed = []
         for branch, (slot_idx, bsid) in enumerate(zip(free_slots, sids)):
             first = (first_token
                      if branch == 0 and first_token is not None
@@ -932,7 +1022,34 @@ class Engine:
                 done.append(fin)
             else:
                 self.slots[slot_idx] = slot
+                installed.append(slot_idx)
+        if self.draft_params is not None:
+            self._draft_install_prompt(prompt, t, installed)
         return done
+
+    def _draft_install_prompt(self, prompt, t, slot_idxs) -> None:
+        """Prefill the DRAFT model's contiguous cache for freshly
+        installed slots (one tiny-model dispatch; forked branches share
+        the prompt KV by plain copy). Prompts beyond the draft cache
+        leave the slot cold (_draft_len 0): drafts are then garbage,
+        acceptance ~0, transcripts still exact — verification is the
+        only authority."""
+        k = self.speculative_k
+        if prompt is None or t > self._draft_S - (k + 2):
+            for i in slot_idxs:
+                self._draft_len[i] = 0
+            return
+        if not slot_idxs:
+            return
+        tb = min(_bucket(t), self._draft_S)
+        padded = np.zeros((1, tb), np.int32)
+        padded[0, :t] = np.asarray(prompt, np.int32)[:t]
+        ks, vs = self._draft_prefill_fn(
+            self.draft_params, jnp.asarray(padded), np.int32(t))
+        for i in slot_idxs:
+            self._draft_caches = self._draft_install_fn(
+                self._draft_caches, ks, vs, np.int32(i))
+            self._draft_len[i] = t
 
     def _step_prefill(self) -> list[Completion]:
         """Advance prefill by up to `prefill_chunk` REAL tokens of
@@ -1297,17 +1414,34 @@ class Engine:
         k = self.speculative_k
         tokens = np.zeros((self.max_batch, k + 1), np.int32)
         for i in live:
-            s = self.slots[i]
-            tokens[i, 0] = s.next_token
-            hist = np.concatenate([
-                np.asarray(s.request.prompt, np.int32),
-                np.asarray(s.generated, np.int32)])
-            tokens[i, 1:] = self.draft_fn(hist, k)
+            tokens[i, 0] = self.slots[i].next_token
+        if self.draft_params is not None:
+            # ONE fused draft dispatch for every live slot; drafts stay
+            # on device and feed the verify dispatch directly.
+            t0 = time.perf_counter()
+            drafts, self._draft_caches = self._draft_scan_fn(
+                self.draft_params, jnp.asarray(tokens[:, 0]),
+                self._draft_caches,
+                jnp.asarray(self._draft_len, jnp.int32))
+            tokens_dev = jnp.concatenate(
+                [jnp.asarray(tokens[:, :1]), drafts], axis=1)
+            self.stats.draft_s += time.perf_counter() - t0
+        else:
+            for i in live:
+                s = self.slots[i]
+                hist = np.concatenate([
+                    np.asarray(s.request.prompt, np.int32),
+                    np.asarray(s.generated, np.int32)])
+                tokens[i, 1:] = (
+                    self.draft_fn(hist, k,
+                                  request_id=s.request.request_id)
+                    if self._draft_takes_id else self.draft_fn(hist, k))
+            tokens_dev = jnp.asarray(tokens)
 
         t0 = time.perf_counter()
         out_dev, acc_dev, self.cache.k_tails, self.cache.v_tails = \
             self._spec_fn(
-                self.params, jnp.asarray(tokens),
+                self.params, tokens_dev,
                 self.cache.k_pools, self.cache.v_pools,
                 self.cache.k_tails, self.cache.v_tails,
                 tables, paged_lens, jnp.asarray(tail_pos), bases,
@@ -1327,6 +1461,12 @@ class Engine:
             # KV for positions 0..k was written; only 0..a is real.
             self.stats.spec_proposed += k
             self.stats.spec_accepted += a
+            if self.draft_params is not None:
+                # Draft cache: positions len..len+a confirmed (the
+                # rejected rows above are overwritten by the next scan
+                # before they are unmasked).
+                self._draft_len[i] = min(
+                    int(self._draft_len[i]) + a + 1, self._draft_S - 1)
             s.length += a + 1
             s.tail += a + 1
             for tok in out[i, : a + 1]:

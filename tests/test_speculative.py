@@ -242,6 +242,79 @@ def test_speculative_composes_with_moe(rng):
     assert serve(speculative_k=3) == serve()
 
 
+def test_engine_model_draft_self_accepts(params, rng):
+    """Model-based drafting with draft == target (self-draft): the
+    draft's contiguous-cache greedy path must agree with the paged
+    verify path almost always, so acceptance must be high — any
+    off-by-one in the draft cache position bookkeeping (install length,
+    the +a+1 advance, the (k+1)-th ingest step) collapses acceptance
+    to ~0 and fails this. Transcripts must equal the plain engine."""
+    from flash_attention_tpu.runtime.engine import Engine, Request
+
+    prompts = [list(rng.integers(0, CFG.vocab_size, 17)),
+               list(rng.integers(0, CFG.vocab_size, 31))]
+
+    def serve(**kw):
+        eng = Engine(params, CFG, max_batch=2, num_pages=32,
+                     page_size=PAGE, tail_size=16, **kw)
+        reqs = [Request(prompt=list(p), max_new_tokens=10)
+                for p in prompts]
+        by_id = {c.request_id: c for c in eng.run(reqs)}
+        return [by_id[r.request_id].tokens for r in reqs], eng.stats
+
+    base, _ = serve()
+    got, stats = serve(speculative_k=3, draft_params=params,
+                       draft_cfg=CFG)
+    assert got == base
+    assert stats.spec_proposed > 0
+    rate = stats.spec_accepted / stats.spec_proposed
+    assert rate >= 0.9, (stats.spec_accepted, stats.spec_proposed)
+
+
+@pytest.mark.slow
+def test_engine_model_draft_wrong_model_still_exact(params, rng):
+    """A draft model with DIFFERENT random weights proposes garbage;
+    acceptance ~0 but transcripts stay exact (verification is the only
+    authority). Also covers the draft_max_seq cold-slot fallback and
+    n>1 forks sharing the draft prompt KV."""
+    from flash_attention_tpu.runtime.engine import Engine, Request
+
+    wrong = init_params(CFG, jax.random.PRNGKey(99))
+    prompt = list(rng.integers(0, CFG.vocab_size, 25))
+
+    def serve(**kw):
+        eng = Engine(params, CFG, max_batch=3, num_pages=32,
+                     page_size=PAGE, tail_size=16, **kw)
+        out = eng.run([Request(prompt=list(prompt), max_new_tokens=7,
+                               n=2)])
+        return [c.tokens for c in out]
+
+    base = serve()
+    assert serve(speculative_k=2, draft_params=wrong,
+                 draft_cfg=CFG) == base
+    # Prompt beyond the draft cache: slot stays cold, output unchanged.
+    assert serve(speculative_k=2, draft_params=wrong, draft_cfg=CFG,
+                 draft_max_seq=16) == base
+
+
+@pytest.mark.slow
+def test_engine_model_draft_tail_flush_and_long_gen(params, rng):
+    """Draft path across tail flushes and enough steps that the draft
+    cache advance (+a+1 per step) is exercised many times."""
+    from flash_attention_tpu.runtime.engine import Engine, Request
+
+    prompt = list(rng.integers(0, CFG.vocab_size, PAGE - 5))
+
+    def serve(**kw):
+        eng = Engine(params, CFG, max_batch=2, num_pages=32,
+                     page_size=PAGE, tail_size=8, **kw)
+        return eng.run([Request(prompt=list(prompt),
+                                max_new_tokens=21)])[0].tokens
+
+    assert serve(speculative_k=3, draft_params=params,
+                 draft_cfg=CFG) == serve()
+
+
 @pytest.mark.slow
 def test_spec_oracle_cli_accepts_everything(capsys):
     """serve-bench --spec-oracle 1.0: drafts from the pre-computed
