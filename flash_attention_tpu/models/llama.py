@@ -326,15 +326,27 @@ def _mlp_block(layer, x, cfg, tp_axis=None):
     if "router" in layer:
         # Under TP serving the expert stacks are sharded over tp
         # (serving_param_shardings); tokens replicate and one psum
-        # combines — see moe.moe_mlp expert_shard_axis.
-        from flash_attention_tpu.models.moe import moe_mlp, moe_mlp_grouped
+        # combines — see moe.moe_mlp / moe_mlp_grouped
+        # expert_shard_axis.
+        from flash_attention_tpu.models.moe import (
+            dropless_dispatch_path, moe_mlp, moe_mlp_grouped,
+        )
 
-        if getattr(cfg, "routing", "capacity") == "dropless" \
-                and tp_axis is None:
-            # Serving fast path: sort-by-expert + grouped ragged matmul
-            # (ops/grouped.py); dispatch cost O(n log n) instead of the
-            # one-hot cubes, in-kernel dequant for quantized stacks.
-            y, _ = moe_mlp_grouped(layer, x, cfg)
+        if getattr(cfg, "routing", "capacity") == "dropless":
+            # ADAPTIVE dropless dispatch: the grouped ragged kernel
+            # wins above the measured ~4K-token crossover
+            # (benchmarks/moe_grouped_vs_onehot); decode-shaped
+            # dispatches (n = batch) take the drop-free one-hot cubes
+            # instead of paying the sort + visit-plan overhead. Both
+            # run under TP (grouped via the kernels' local-band
+            # `base`, one-hot via the expert-band slice).
+            n = x.shape[0] * x.shape[1]
+            if dropless_dispatch_path(n) == "grouped":
+                y, _ = moe_mlp_grouped(layer, x, cfg,
+                                       expert_shard_axis=tp_axis)
+            else:
+                y, _ = moe_mlp(layer, x, cfg,
+                               expert_shard_axis=tp_axis, capacity=n)
         else:
             y, _ = moe_mlp(layer, x, cfg, expert_shard_axis=tp_axis)
         return y

@@ -201,9 +201,36 @@ def route_tokens(logits, top_k: int, capacity: int):
     return dispatch, combine, aux
 
 
+# Dispatch-size crossover between the two dropless implementations,
+# measured on v5e at Mixtral layer shapes (benchmarks/
+# moe_grouped_vs_onehot): the sort+ragged-kernel path loses to the
+# one-hot cubes below ~4K tokens (0.68x at 2048) and wins above.
+# Override with FA_TPU_GROUPED_MIN_TOKENS for measurement sweeps.
+GROUPED_MIN_TOKENS = 4096
+
+
+def dropless_dispatch_path(n_tokens: int) -> str:
+    """Which dropless implementation a dispatch of `n_tokens` should
+    take: 'grouped' (sort-by-expert + ragged Pallas matmul) at/above
+    the measured crossover, 'onehot' (drop-free capacity cubes) below
+    it — decode-shaped dispatches (n = batch) are far below, full
+    prefills far above. Pure function of the (static) token count, so
+    the choice is a trace-time constant."""
+    import os
+
+    thr = int(os.environ.get("FA_TPU_GROUPED_MIN_TOKENS",
+                             GROUPED_MIN_TOKENS))
+    return "grouped" if n_tokens >= thr else "onehot"
+
+
 def moe_mlp(layer, x, cfg: MoEConfig, ep_axis=None,
-            expert_shard_axis=None):
+            expert_shard_axis=None, capacity=None):
     """Capacity-routed expert MLP. x: [B, T, d]. Returns (y, aux).
+
+    `capacity` overrides the capacity-factor formula; `capacity=n`
+    (the token count) makes the path DROP-FREE — the small-dispatch
+    dropless route (dropless_dispatch_path), where the one-hot cubes
+    are cheap because n is small.
 
     Three placements:
       * both axes None — every expert computed locally (dense
@@ -225,7 +252,10 @@ def moe_mlp(layer, x, cfg: MoEConfig, ep_axis=None,
     h = rmsnorm(x, layer["mlp_norm"], cfg.norm_eps)
     flat = h.reshape(n, d)
     logits = flat.astype(jnp.float32) @ layer["router"]
-    capacity = expert_capacity(n, cfg)
+    if capacity is None:
+        capacity = expert_capacity(n, cfg)
+    else:
+        capacity = max(8, -(-int(capacity) // 8) * 8)
     dispatch, combine, aux = route_tokens(logits, cfg.top_k, capacity)
     dispatch = dispatch.astype(flat.dtype)
     combine = combine.astype(flat.dtype)
@@ -269,11 +299,13 @@ def route_topk(logits, top_k: int):
     return gates, experts.astype(jnp.int32)
 
 
-def _expert_stack_mm(xs, w, group_sizes=None):
+def _expert_stack_mm(xs, w, group_sizes=None, base=None):
     """Expert matmul dispatch. Capacity path (group_sizes None):
     xs [E, C, d] batched against the stack. Grouped path: xs [M, d]
     expert-sorted rows through the ragged Pallas kernels
-    (ops/grouped.py) with in-kernel dequant for quantized stacks."""
+    (ops/grouped.py) with in-kernel dequant for quantized stacks;
+    `base` offsets group 0's first row (the tensor-parallel local
+    band — rows outside [base, base+sum(group_sizes)) come back 0)."""
     from flash_attention_tpu.models.quantized import (
         Int4ExpertStack,
         QuantizedExpertStack,
@@ -290,13 +322,15 @@ def _expert_stack_mm(xs, w, group_sizes=None):
     )
 
     if isinstance(w, Int4ExpertStack):
-        return grouped_int4_matmul(xs, group_sizes, w.packed, w.scales)
+        return grouped_int4_matmul(xs, group_sizes, w.packed, w.scales,
+                                   base=base)
     if isinstance(w, QuantizedExpertStack):
-        return grouped_quant_matmul(xs, group_sizes, w.q, w.scale)
-    return grouped_matmul(xs, group_sizes, w)
+        return grouped_quant_matmul(xs, group_sizes, w.q, w.scale,
+                                    base=base)
+    return grouped_matmul(xs, group_sizes, w, base=base)
 
 
-def moe_mlp_grouped(layer, x, cfg: MoEConfig):
+def moe_mlp_grouped(layer, x, cfg: MoEConfig, expert_shard_axis=None):
     """Dropless expert MLP via sort-by-expert + grouped ragged matmul
     (the serving path; cfg.routing == "dropless").
 
@@ -306,6 +340,13 @@ def moe_mlp_grouped(layer, x, cfg: MoEConfig):
     length) are replaced by one argsort over n·k int32 keys plus
     gather/gather — the combine is a GATHER through the inverse
     permutation, not a scatter (TPU-friendly).
+
+    expert_shard_axis (TP serving, inside shard_map): tokens are
+    replicated, expert stacks sharded — every rank sorts identically
+    and the ragged kernels compute only the LOCAL expert band via
+    their `base` row offset (rows outside the band return 0); one psum
+    stitches the combine, the same one-collective-per-block shape as
+    the dense Megatron split.
     """
     b, t, d = x.shape
     n = b * t
@@ -320,15 +361,28 @@ def moe_mlp_grouped(layer, x, cfg: MoEConfig):
     xs = jnp.take(flat, perm // k, axis=0)             # [n*k, d] sorted
     group_sizes = jnp.bincount(flat_e, length=cfg.n_experts)
 
-    g = _expert_stack_mm(xs, layer["w_gate"], group_sizes)
-    u = _expert_stack_mm(xs, layer["w_up"], group_sizes)
+    base = None
+    if expert_shard_axis is not None:
+        e_local = layer["w_gate"].shape[0]
+        start = jax.lax.axis_index(expert_shard_axis) * e_local
+        offs = jnp.concatenate([
+            jnp.zeros((1,), jnp.int32),
+            jnp.cumsum(group_sizes).astype(jnp.int32)])
+        base = jnp.take(offs, start)
+        group_sizes = jax.lax.dynamic_slice_in_dim(
+            group_sizes, start, e_local)
+
+    g = _expert_stack_mm(xs, layer["w_gate"], group_sizes, base=base)
+    u = _expert_stack_mm(xs, layer["w_up"], group_sizes, base=base)
     a = jax.nn.silu(g) * u
     yd = _expert_stack_mm(a.astype(flat.dtype), layer["w_down"],
-                          group_sizes)                 # [n*k, d]
+                          group_sizes, base=base)      # [n*k, d]
 
     inv = jnp.argsort(perm)                            # flat -> sorted pos
     ys = jnp.take(yd, inv.reshape(n, k), axis=0)       # [n, k, d]
     y = jnp.sum(ys * gates.astype(ys.dtype)[..., None], axis=1)
+    if expert_shard_axis is not None:
+        y = jax.lax.psum(y, expert_shard_axis)
     probs = jax.nn.softmax(logits, axis=-1)
     aux = {
         "load_balance": cfg.n_experts * jnp.sum(

@@ -222,6 +222,110 @@ def test_moe_engine_matches_contiguous_greedy(params, rng):
         assert by_id[req.request_id].tokens == want
 
 
+def test_dropless_dispatch_path_thresholds(monkeypatch):
+    """Decode-shaped dispatches take the one-hot path, prefill-shaped
+    the grouped kernel; the crossover is the measured constant and is
+    overridable for sweeps."""
+    from flash_attention_tpu.models.moe import (
+        GROUPED_MIN_TOKENS, dropless_dispatch_path,
+    )
+
+    assert dropless_dispatch_path(32) == "onehot"          # decode
+    assert dropless_dispatch_path(GROUPED_MIN_TOKENS) == "grouped"
+    assert dropless_dispatch_path(8192) == "grouped"       # prefill
+    monkeypatch.setenv("FA_TPU_GROUPED_MIN_TOKENS", "16")
+    assert dropless_dispatch_path(32) == "grouped"
+
+
+def test_dropless_onehot_matches_grouped(params, rng):
+    """The two dropless implementations must agree: drop-free-capacity
+    one-hot (small dispatches) vs sort+ragged grouped (large)."""
+    from flash_attention_tpu.models.moe import moe_mlp_grouped
+
+    cfg = MoEConfig(**{**CFG.__dict__, "routing": "dropless"})
+    layer = params["layers"][0]
+    x = jnp.asarray(rng.normal(0, 0.02, (2, 9, cfg.dim)), jnp.float32)
+    yg, _ = moe_mlp_grouped(layer, x, cfg)
+    yo, _ = moe_mlp(layer, x, cfg, capacity=2 * 9)
+    np.testing.assert_allclose(np.asarray(yo), np.asarray(yg),
+                               rtol=2e-5, atol=2e-6)
+
+
+def test_dropless_grouped_tp_band_matches_unsharded(params, rng):
+    """moe_mlp_grouped under an expert-sharded shard_map (local-band
+    `base` into the ragged kernels + one psum) must equal the
+    unsharded grouped path exactly."""
+    from functools import partial
+
+    from jax.sharding import PartitionSpec as P
+
+    from flash_attention_tpu.models.moe import moe_mlp_grouped
+
+    cfg = MoEConfig(**{**CFG.__dict__, "routing": "dropless"})
+    layer = params["layers"][0]
+    x = jnp.asarray(rng.normal(0, 0.02, (2, 13, cfg.dim)), jnp.float32)
+    want, _ = moe_mlp_grouped(layer, x, cfg)
+
+    mesh = make_mesh(tp=2, dp=-1)
+    specs = {k: (P("tp") if k in ("w_gate", "w_up", "w_down") else P())
+             for k in layer}
+    sharded = jax.shard_map(
+        lambda l, xx: moe_mlp_grouped(
+            l, xx, cfg, expert_shard_axis="tp")[0],
+        mesh=mesh, in_specs=(specs, P()), out_specs=P(),
+        check_vma=False)
+    got = sharded(layer, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-6, atol=1e-7)
+
+
+@pytest.mark.slow
+def test_moe_engine_dropless_matches_generate(params, rng):
+    """Dropless serving end-to-end with the ADAPTIVE dispatch (decode
+    takes one-hot, any big prefill grouped): engine transcripts equal
+    generate."""
+    from flash_attention_tpu.models.sampling import generate
+    from flash_attention_tpu.runtime.engine import Engine, Request
+
+    cfg = MoEConfig(**{**CFG.__dict__, "routing": "dropless"})
+    prompts = [list(rng.integers(0, CFG.vocab_size, 11)),
+               list(rng.integers(0, CFG.vocab_size, 23))]
+    eng = Engine(params, cfg, max_batch=2, num_pages=32, page_size=128)
+    by_id = {c.request_id: c for c in eng.run(
+        [Request(prompt=list(p), max_new_tokens=5) for p in prompts])}
+    for req_id, p in zip(sorted(by_id), prompts):
+        want = [int(x) for x in np.asarray(generate(
+            params, jnp.asarray([p], jnp.int32), cfg,
+            max_new_tokens=5)[0])]
+        assert by_id[req_id].tokens == want
+
+
+@pytest.mark.slow
+def test_moe_engine_tp_dropless_grouped_path(params, rng, monkeypatch):
+    """Dropless MoE serving under TP with the GROUPED path forced for
+    every dispatch size (threshold 1): transcripts equal the
+    single-device dropless engine — the ragged kernels' local-band
+    `base` is live in both prefill and decode shapes."""
+    from flash_attention_tpu.runtime.engine import Engine, Request
+
+    monkeypatch.setenv("FA_TPU_GROUPED_MIN_TOKENS", "1")
+    cfg = MoEConfig(**{**CFG.__dict__, "routing": "dropless"})
+    prompts = [list(rng.integers(0, CFG.vocab_size, 9)),
+               list(rng.integers(0, CFG.vocab_size, 21))]
+
+    def serve(mesh=None):
+        eng = Engine(params, cfg, max_batch=2, num_pages=16,
+                     page_size=128, mesh=mesh, prefill_chunk=16,
+                     decode_chunk=2)
+        out = eng.run([Request(prompt=list(p), max_new_tokens=4)
+                       for p in prompts])
+        return {c.prompt_len: c.tokens for c in out}
+
+    want = serve()
+    got = serve(make_mesh(tp=2, dp=-1))
+    assert got == want, (got, want)
+
+
 @pytest.mark.slow
 def test_moe_engine_tp_sharded_matches_single_device(params, rng):
     """MoE serving under the TP mesh (experts sharded, one psum per
