@@ -119,7 +119,15 @@ def _within_window(i, block_q, j, block_kv, offset, window):
     return (j + 1) * block_kv - 1 > i * block_q + offset - window
 
 
-def _block_runs(i, j, *, block_q, block_kv, causal, offset, window):
+def _block_runs(i, j, *, block_q, block_kv, causal, offset, window,
+                strict_below=None):
+    if strict_below is not None:
+        # Two-pass causal split, bulk pass: only blocks ENTIRELY below
+        # q block i's W-wide diagonal BAND run (every element visible —
+        # no mask at all); the band itself is the separate fine-tiled
+        # diag_band pass (flash_attention_fwd_split).
+        w = strict_below
+        return (j + 1) * block_kv <= (i * block_q // w) * w
     run = (
         _below_or_on_diag(i, block_q, j, block_kv, offset)
         if causal else True
@@ -155,11 +163,17 @@ def _first_window_block(i, block_q, offset, window, block_kv):
     return jnp.maximum(oldest_col, 0) // block_kv
 
 
-def _kv_block_redirect(i, j, *, block_q, block_kv, causal, offset, window):
+def _kv_block_redirect(i, j, *, block_q, block_kv, causal, offset, window,
+                       strict_below=None):
     """Skipped-block DMA redirect shared by the forward and dQ grids:
     a block that will not run maps its DMA to one that will (any
     in-range index is correct; the kernel's should_run gate decides
     what computes)."""
+    if strict_below is not None:
+        w = strict_below
+        return lax.select(
+            (j + 1) * block_kv <= (i * block_q // w) * w, j,
+            jnp.zeros_like(j))
     jmin = (_first_window_block(i, block_q, offset, window, block_kv)
             if window is not None else 0)
     if causal:
@@ -245,7 +259,8 @@ def _dequant_tile(val_ref, scale_ref, out_dtype):
 def _fwd_kernel(q_ref, k_ref, v_ref, *rest, scale, causal, offset, block_q,
                 block_kv, num_kv_blocks, q_len, kv_len, q_padded, kv_padded,
                 precision, window=None, segmented=False, quantized=False,
-                compute_dtype=None, block_h=1, additive_mask=False):
+                compute_dtype=None, block_h=1, additive_mask=False,
+                strict_below=False, diag_band=None):
     rest = list(rest)
     if additive_mask:
         mask_ref = rest.pop(0)
@@ -255,6 +270,13 @@ def _fwd_kernel(q_ref, k_ref, v_ref, *rest, scale, causal, offset, block_q,
         qseg_ref, kvseg_ref = rest.pop(0), rest.pop(0)
     o_ref, lse_ref, m_scr, l_scr, acc_scr = rest
     i, j = pl.program_id(2), pl.program_id(3)
+    if diag_band is not None:
+        # Diagonal pass of the two-pass causal split: the grid's j dim
+        # spans only the W-wide diagonal band; map it to the GLOBAL kv
+        # block index (init/store still key on the grid-local j).
+        jg = (i // (diag_band // block_q)) * (diag_band // block_kv) + j
+    else:
+        jg = j
 
     @pl.when(j == 0)
     def _init():
@@ -267,8 +289,8 @@ def _fwd_kernel(q_ref, k_ref, v_ref, *rest, scale, causal, offset, block_q,
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
     should_run = _block_runs(
-        i, j, block_q=block_q, block_kv=block_kv, causal=causal,
-        offset=offset, window=window)
+        i, jg, block_q=block_q, block_kv=block_kv, causal=causal,
+        offset=offset, window=window, strict_below=strict_below)
 
     @pl.when(should_run)
     def _compute():
@@ -296,7 +318,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, *rest, scale, causal, offset, block_q,
             # is a single fused multiply-add against a VMEM-resident
             # constant instead of ~4 iota/compare/select passes per
             # block (measured +6% causal flagship).
-            flag = jnp.where(i == j, 1.0, 0.0)
+            flag = jnp.where(i == jg, 1.0, 0.0)
             s = s + mask_ref[...] * flag
         else:
             qseg = None
@@ -305,7 +327,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, *rest, scale, causal, offset, block_q,
                 if block_h > 1:
                     qseg = jnp.tile(qseg, (block_h, 1))
             s = _mask_block_if_needed(
-                s, i, j, num_q_blocks=pl.num_programs(2),
+                s, i, jg, num_q_blocks=pl.num_programs(2),
                 num_kv_blocks=num_kv_blocks,
                 block_q=block_q, block_kv=block_kv, causal=causal,
                 offset=offset, q_len=q_len, kv_len=kv_len,
@@ -386,13 +408,14 @@ def _fwd_cost(batch, hq, nq, nk, d, causal, itemsize, window=None):
     jax.jit,
     static_argnames=(
         "causal", "scale", "block_sizes", "interpret", "debug", "offset",
-        "save_residuals", "window",
+        "save_residuals", "window", "strict_below", "diag_band",
     ),
 )
 def flash_attention_fwd(
     q, k, v, segment_ids=None, *, causal=False, scale=None,
     block_sizes=None, offset=None, window=None, interpret=None,
-    debug=False, save_residuals=True,
+    debug=False, save_residuals=True, strict_below=None,
+    diag_band=None,
 ):
     """Forward flash attention. Returns (o, lse) where lse is the fp32
     log-sum-exp per row, lane-replicated as [B, Hq, Nq, 128] (TPU-friendly
@@ -477,15 +500,36 @@ def flash_attention_fwd(
 
     num_q_blocks = nq_pad // block_q
     num_kv_blocks = nk_pad // block_kv
+    if diag_band is not None:
+        # Diagonal pass of the two-pass split: the kv grid dim spans
+        # only the W-wide band each q block lives in.
+        if (not causal or window is not None or segmented or q_padded
+                or kv_padded or offset != 0 or nq != nk):
+            raise ValueError(
+                "diag_band requires plain causal self-attention "
+                "(no window/segments/padding, Nq == Nk)")
+        if diag_band % block_q or diag_band % block_kv \
+                or nq % diag_band:
+            raise ValueError(
+                f"diag_band={diag_band} must be a multiple of both "
+                f"block sizes and divide Nq={nq}")
+        num_kv_blocks = diag_band // block_kv
     grid = (batch, hq // block_h, num_q_blocks, num_kv_blocks)
 
     def q_index(b, h, i, j):
         return (b, h, i, 0)
 
     def _kv_block(i, j):
+        if diag_band is not None:
+            bb = diag_band // block_kv
+            band0 = (i // (diag_band // block_q)) * bb
+            jg = band0 + j
+            return lax.select(
+                _below_or_on_diag(i, block_q, jg, block_kv, 0),
+                jg, band0)
         return _kv_block_redirect(
             i, j, block_q=block_q, block_kv=block_kv, causal=causal,
-            offset=offset, window=window)
+            offset=offset, window=window, strict_below=strict_below)
 
     def kv_index(b, h, i, j):
         return (b, (h * block_h) // group, _kv_block(i, j), 0)
@@ -497,6 +541,20 @@ def flash_attention_fwd(
     additive_mask = (causal and window is None and not segmented
                      and not q_padded and not kv_padded
                      and block_q == block_kv and offset == 0)
+    if strict_below is not None:
+        # Bulk pass of the two-pass causal split: only fully-visible
+        # blocks run, so no masking of any kind. The diagonal band is
+        # the caller's separate fine-tiled pass.
+        if causal or window is not None or segmented or q_padded \
+                or kv_padded or offset != 0:
+            raise ValueError(
+                "strict_below composes with none of causal/window/"
+                "segments/padding/offset (it IS the mask)")
+        if strict_below % block_q or strict_below % block_kv:
+            raise ValueError(
+                f"strict_below band {strict_below} must be a multiple "
+                f"of block_q={block_q} and block_kv={block_kv}")
+        additive_mask = False
 
     kernel = functools.partial(
         _fwd_kernel,
@@ -506,6 +564,7 @@ def flash_attention_fwd(
         precision=_mxu_precision(q.dtype), window=window,
         segmented=segmented, quantized=quantized, compute_dtype=q.dtype,
         block_h=block_h, additive_mask=additive_mask,
+        strict_below=strict_below, diag_band=diag_band,
     )
 
     in_specs = [
@@ -584,8 +643,8 @@ def flash_attention_fwd(
             "parallel", "parallel", "parallel", "arbitrary"
         ),
         cost_estimate=_fwd_cost(
-            batch, hq, nq, nk, d, causal, jnp.dtype(q.dtype).itemsize,
-            window,
+            batch, hq, nq, diag_band if diag_band is not None else nk,
+            d, causal, jnp.dtype(q.dtype).itemsize, window,
         ),
         interpret=interpret,
         debug=debug,
@@ -595,6 +654,58 @@ def flash_attention_fwd(
         o = o[:, :, :nq]
         lse = lse[:, :, :nq] if lse is not None else None
     return o, lse
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("scale", "band", "block_sizes", "diag_block_sizes",
+                     "interpret", "save_residuals"),
+)
+def flash_attention_fwd_split(
+    q, k, v, *, scale=None, band=2048, block_sizes=None,
+    diag_block_sizes=None, interpret=None, save_residuals=False,
+):
+    """Two-pass causal forward (VERDICT r4 task 8): a MASK-FREE bulk
+    pass over blocks strictly below the W-wide diagonal band at the
+    non-causal-optimal tile size, plus a fine-tiled diagonal pass whose
+    kv grid spans only the band — then one LSE merge (the recurrence
+    chunked prefill / ring already use). Rationale: single-pass causal
+    wastes ~half of every diagonal block at 2048-wide tiles (the
+    measured 2K tile floor, REPORT seq-sweep); the split buys back that
+    block-granularity waste at the price of a second q/O stream + the
+    merge. Returns (o, lse|None); numerics match flash_attention_fwd
+    within lse-merge rounding.
+    """
+    batch, hq, nq, d = q.shape
+    nk = k.shape[2]
+    if nq != nk or nq % band:
+        raise ValueError(
+            f"split forward needs Nq == Nk divisible by band "
+            f"(got {nq}/{nk}, band {band})")
+    if scale is None:
+        scale = float(1.0 / np.sqrt(d))
+    o_b, lse_b = flash_attention_fwd(
+        q, k, v, causal=False, strict_below=band, scale=scale,
+        block_sizes=block_sizes, interpret=interpret,
+        save_residuals=True)
+    dbs = diag_block_sizes or BlockSizes(block_q=256, block_kv=256)
+    o_d, lse_d = flash_attention_fwd(
+        q, k, v, causal=True, diag_band=band, scale=scale,
+        block_sizes=dbs, interpret=interpret, save_residuals=True)
+    # LSE merge (bulk rows with no blocks export lse = INIT_M * scale,
+    # weighting them exactly 0).
+    lb = lse_b[..., :1]
+    ld = lse_d[..., :1]
+    m = jnp.maximum(lb, ld)
+    wb = jnp.exp(lb - m)
+    wd = jnp.exp(ld - m)
+    den = wb + wd
+    o = ((o_b.astype(jnp.float32) * wb + o_d.astype(jnp.float32) * wd)
+         / den).astype(q.dtype)
+    if save_residuals:
+        lse = m + jnp.log(den)
+        return o, jnp.broadcast_to(lse, lse_b.shape)
+    return o, None
 
 
 # ---------------------------------------------------------------------------

@@ -170,3 +170,29 @@ def test_fwd_fp16_io(qkv_factory):
         o, attention_reference(q, k, v, causal=True),
         attention_lowp_baseline(q, k, v, causal=True))
     assert ok, (ke, be)
+
+
+@pytest.mark.parametrize("band,bq", [(128, 128), (256, 128)])
+def test_fwd_split_matches_single_pass(qkv_factory, band, bq):
+    """Two-pass causal split (mask-free strict-below bulk + fine-tiled
+    diag_band pass + LSE merge) must reproduce the single-pass causal
+    forward, including the merged LSE."""
+    from flash_attention_tpu.config import BlockSizes
+    from flash_attention_tpu.ops.flash import (
+        flash_attention_fwd,
+        flash_attention_fwd_split,
+    )
+
+    q, k, v = qkv_factory(1, 2, 2, 512, 512, 64, jnp.float32)
+    want, wlse = flash_attention_fwd(
+        q, k, v, causal=True,
+        block_sizes=BlockSizes(block_q=128, block_kv=128))
+    got, glse = flash_attention_fwd_split(
+        q, k, v, band=band,
+        block_sizes=BlockSizes(block_q=bq, block_kv=bq),
+        diag_block_sizes=BlockSizes(block_q=128, block_kv=128),
+        save_residuals=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(glse), np.asarray(wlse),
+                               atol=1e-5)
