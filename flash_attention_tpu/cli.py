@@ -406,6 +406,8 @@ def cmd_decode_bench(args):
                     [jnp.zeros(tail_shape, jnp.bfloat16)
                      for _ in range(cfg.n_layers)])
 
+        from flash_attention_tpu.utils.bench import device_sync
+
         tok0 = jnp.zeros((bm,), jnp.int32)
         kp = [jnp.zeros(pool_shape, pool_dtype)
               for _ in range(cfg.n_layers)]
@@ -420,15 +422,15 @@ def cmd_decode_bench(args):
             ksc = vsc = None
         kt, vt = fresh_tails()
         toks, kt2, vt2 = run(params, kp, vp, kt, vt, tok0, ksc, vsc)
-        jax.block_until_ready(toks)
+        device_sync(toks)      # block_until_ready is unreliable here
         del kt2, vt2
         times = []
         for _ in range(max(args.iters // 3, 2)):
             kt, vt = fresh_tails()
-            jax.block_until_ready((kt, vt))
+            device_sync(kt)
             t0 = time.perf_counter()
             toks, kt, vt = run(params, kp, vp, kt, vt, tok0, ksc, vsc)
-            jax.block_until_ready(toks)
+            device_sync(toks)  # 1-element readback barrier
             times.append(time.perf_counter() - t0)
         best = min(times)
         from flash_attention_tpu.models.quantized import (
