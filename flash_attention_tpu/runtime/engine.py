@@ -139,8 +139,8 @@ class EngineStats:
     rejected: int = 0                 # infeasible requests rejected
     peak_pages: int = 0               # max pages in use at any step
     prefill_s: float = 0.0
-    decode_s: float = 0.0
-    draft_s: float = 0.0              # draft-model scan dispatches
+    decode_s: float = 0.0             # incl. the fused draft+verify
+                                      # dispatch under model drafting
     # Wall-time breakdown of the non-dispatch engine step (observability
     # for serving-latency diagnosis; `serve-bench --trace` prints it):
     admit_s: float = 0.0              # _try_admit (incl. prefix probes)
@@ -399,8 +399,9 @@ class Engine:
                     body, (tok0, caches, lens), None, length=k + 1)
                 return jnp.moveaxis(drafts, 0, 1)[:, :k], caches
 
-            self._draft_scan_fn = jax.jit(
-                _draft_scan, donate_argnums=(2,))
+            # Raw (unjitted): fused with the verify program below into
+            # ONE dispatch per engine step.
+            self._draft_scan_raw = _draft_scan
 
             def _draft_prefill(dparams, tokens, true_len):
                 _, ks, vs = prefill_kv(dparams, tokens, dcfg,
@@ -595,6 +596,26 @@ class Engine:
         # the decode step and flushed separately (kv_cache.flush_tails).
         self._decode_fn = jax.jit(_decode, donate_argnums=(4, 5))
         self._spec_fn = jax.jit(_spec, donate_argnums=(4, 5))
+        if draft_params is not None:
+            raw_scan = self._draft_scan_raw
+
+            def _spec_draft(params, dparams, tok0, dcaches, dlens,
+                            k_pages, v_pages, k_tails, v_tails, tables,
+                            paged_lens, tail_pos, bases, k_scales,
+                            v_scales, temps, top_ps, key):
+                """Draft scan + multi-token verify in ONE program: one
+                dispatch and one host sync per engine step (two would
+                cost ~1.3 ms each on a tunneled transport)."""
+                drafts, dcaches = raw_scan(dparams, tok0, dcaches, dlens)
+                tokens = jnp.concatenate([tok0[:, None], drafts], axis=1)
+                out, accepted, kt, vt = _spec(
+                    params, tokens, k_pages, v_pages, k_tails, v_tails,
+                    tables, paged_lens, tail_pos, bases, k_scales,
+                    v_scales, temps, top_ps, key)
+                return out, accepted, kt, vt, dcaches
+
+            self._spec_draft_fn = jax.jit(
+                _spec_draft, donate_argnums=(3, 7, 8))
         self._decode_chunk_fn = jax.jit(_decode_chunk,
                                         donate_argnums=(4, 5))
         self._prefill_fn = jax.jit(_prefill)
@@ -724,7 +745,17 @@ class Engine:
         n = 0
         for w in widths:
             tables = jnp.zeros((B, w), jnp.int32)
-            if self.speculative_k:
+            if self.speculative_k and self.draft_params is not None:
+                (out, _, self.cache.k_tails, self.cache.v_tails,
+                 self._draft_caches) = self._spec_draft_fn(
+                    self.params, self.draft_params, zl,
+                    self._draft_caches, zl, self.cache.k_pools,
+                    self.cache.v_pools, self.cache.k_tails,
+                    self.cache.v_tails, tables, zl, zl, zl,
+                    self.cache.k_scale_pools,
+                    self.cache.v_scale_pools, temps, top_ps,
+                    self._next_key())
+            elif self.speculative_k:
                 toks = jnp.zeros((B, self.speculative_k + 1), jnp.int32)
                 out, _, self.cache.k_tails, self.cache.v_tails = \
                     self._spec_fn(
@@ -1415,17 +1446,22 @@ class Engine:
         tokens = np.zeros((self.max_batch, k + 1), np.int32)
         for i in live:
             tokens[i, 0] = self.slots[i].next_token
+        t0 = time.perf_counter()
         if self.draft_params is not None:
-            # ONE fused draft dispatch for every live slot; drafts stay
-            # on device and feed the verify dispatch directly.
-            t0 = time.perf_counter()
-            drafts, self._draft_caches = self._draft_scan_fn(
-                self.draft_params, jnp.asarray(tokens[:, 0]),
-                self._draft_caches,
-                jnp.asarray(self._draft_len, jnp.int32))
-            tokens_dev = jnp.concatenate(
-                [jnp.asarray(tokens[:, :1]), drafts], axis=1)
-            self.stats.draft_s += time.perf_counter() - t0
+            # Draft scan + verify fused into ONE dispatch; the drafts
+            # never touch the host.
+            (out_dev, acc_dev, self.cache.k_tails, self.cache.v_tails,
+             self._draft_caches) = self._spec_draft_fn(
+                self.params, self.draft_params,
+                jnp.asarray(tokens[:, 0]), self._draft_caches,
+                jnp.asarray(self._draft_len, jnp.int32),
+                self.cache.k_pools, self.cache.v_pools,
+                self.cache.k_tails, self.cache.v_tails,
+                tables, paged_lens, jnp.asarray(tail_pos), bases,
+                self.cache.k_scale_pools, self.cache.v_scale_pools,
+                jnp.asarray(temps), jnp.asarray(top_ps),
+                self._next_key(),
+            )
         else:
             for i in live:
                 s = self.slots[i]
@@ -1436,19 +1472,16 @@ class Engine:
                     self.draft_fn(hist, k,
                                   request_id=s.request.request_id)
                     if self._draft_takes_id else self.draft_fn(hist, k))
-            tokens_dev = jnp.asarray(tokens)
-
-        t0 = time.perf_counter()
-        out_dev, acc_dev, self.cache.k_tails, self.cache.v_tails = \
-            self._spec_fn(
-                self.params, tokens_dev,
-                self.cache.k_pools, self.cache.v_pools,
-                self.cache.k_tails, self.cache.v_tails,
-                tables, paged_lens, jnp.asarray(tail_pos), bases,
-                self.cache.k_scale_pools, self.cache.v_scale_pools,
-                jnp.asarray(temps), jnp.asarray(top_ps),
-                self._next_key(),
-            )
+            out_dev, acc_dev, self.cache.k_tails, self.cache.v_tails = \
+                self._spec_fn(
+                    self.params, jnp.asarray(tokens),
+                    self.cache.k_pools, self.cache.v_pools,
+                    self.cache.k_tails, self.cache.v_tails,
+                    tables, paged_lens, jnp.asarray(tail_pos), bases,
+                    self.cache.k_scale_pools, self.cache.v_scale_pools,
+                    jnp.asarray(temps), jnp.asarray(top_ps),
+                    self._next_key(),
+                )
         out = np.asarray(out_dev)                    # [B, k+1], one sync
         acc = np.asarray(acc_dev)                    # [B]
         self.stats.decode_s += time.perf_counter() - t0
