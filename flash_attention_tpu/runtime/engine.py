@@ -214,6 +214,7 @@ class Engine:
                  tail_size: int | None = None, kv_quant_dtype=None,
                  decode_chunk: int = 1, prefill_chunk: int | None = None,
                  prefix_cache: bool = False, speculative_k: int = 0,
+                 speculative_rounds: int = 1,
                  max_decode_stall: int = 4, draft_fn=None,
                  draft_params=None, draft_cfg=None, draft_max_seq=None,
                  mesh=None, seed: int = 0):
@@ -331,6 +332,12 @@ class Engine:
         # capacity (cf >= top_k * E / n) for strict transcript
         # equality.
         self.speculative_k = max(0, int(speculative_k))
+        # speculative_rounds > 1 STACKS the two dispatch-amortization
+        # strategies (round 4's composition residue): R rounds of
+        # (draft scan -> verify -> accept) run inside ONE dispatch, so
+        # a step emits up to R*(k+1) tokens per host sync. Requires
+        # model-based drafts — a host draft_fn cannot run in-graph.
+        self.speculative_rounds = max(1, int(speculative_rounds))
         self.draft_fn = draft_fn or propose_ngram_draft
         # Optional richer draft protocol: draft_fn(history, k,
         # request_id=...) — lets harness oracles key by request
@@ -345,9 +352,19 @@ class Engine:
             if decode_chunk > 1:
                 raise ValueError(
                     "speculative_k and decode_chunk>1 are mutually "
-                    "exclusive decode strategies")
-            if self.speculative_k + 1 >= self.cache.tail_size:
-                raise ValueError("speculative_k + 1 must be < tail_size")
+                    "exclusive decode strategies (speculative_rounds "
+                    "is the stacking mechanism)")
+            step_span = (self.speculative_k + 1) * self.speculative_rounds
+            if step_span >= self.cache.tail_size:
+                raise ValueError(
+                    f"(speculative_k + 1) * speculative_rounds "
+                    f"({step_span}) must be < tail_size "
+                    f"({self.cache.tail_size})")
+        if self.speculative_rounds > 1 and draft_params is None:
+            raise ValueError(
+                "speculative_rounds > 1 requires a draft model "
+                "(draft_params/draft_cfg): host draft_fn hooks cannot "
+                "run inside the fused multi-round dispatch")
 
         # Model-based drafting: a small Llama-class draft model shares
         # the engine loop with its own per-slot contiguous KV cache.
@@ -598,21 +615,41 @@ class Engine:
         self._spec_fn = jax.jit(_spec, donate_argnums=(4, 5))
         if draft_params is not None:
             raw_scan = self._draft_scan_raw
+            n_rounds = self.speculative_rounds
 
             def _spec_draft(params, dparams, tok0, dcaches, dlens,
                             k_pages, v_pages, k_tails, v_tails, tables,
                             paged_lens, tail_pos, bases, k_scales,
                             v_scales, temps, top_ps, key):
-                """Draft scan + multi-token verify in ONE program: one
-                dispatch and one host sync per engine step (two would
-                cost ~1.3 ms each on a tunneled transport)."""
-                drafts, dcaches = raw_scan(dparams, tok0, dcaches, dlens)
-                tokens = jnp.concatenate([tok0[:, None], drafts], axis=1)
-                out, accepted, kt, vt = _spec(
-                    params, tokens, k_pages, v_pages, k_tails, v_tails,
-                    tables, paged_lens, tail_pos, bases, k_scales,
-                    v_scales, temps, top_ps, key)
-                return out, accepted, kt, vt, dcaches
+                """R rounds of (draft scan -> verify -> accept) in ONE
+                program: one dispatch and one host sync per engine step
+                emits up to R*(k+1) tokens (a dispatch/sync costs
+                ~1.3 ms each on a tunneled transport). tail_pos and the
+                draft-cache lengths advance in-graph by each round's
+                accepted count; the host re-syncs its copies from the
+                returned accept counts."""
+
+                def one_round(carry, r):
+                    tok, dcaches, dlens, kt, vt, tpos = carry
+                    drafts, dcaches = raw_scan(dparams, tok, dcaches,
+                                               dlens)
+                    tokens = jnp.concatenate([tok[:, None], drafts],
+                                             axis=1)
+                    out, acc, kt, vt = _spec(
+                        params, tokens, k_pages, v_pages, kt, vt,
+                        tables, paged_lens, tpos, bases, k_scales,
+                        v_scales, temps, top_ps,
+                        jax.random.fold_in(key, r))
+                    nxt = jnp.take_along_axis(
+                        out, acc[:, None], axis=1)[:, 0]
+                    return (nxt, dcaches, dlens + acc + 1, kt, vt,
+                            tpos + acc + 1), (out, acc)
+
+                (_, dcaches, _, kt, vt, _), (outs, accs) = jax.lax.scan(
+                    one_round,
+                    (tok0, dcaches, dlens, k_tails, v_tails, tail_pos),
+                    jnp.arange(n_rounds))
+                return outs, accs, kt, vt, dcaches
 
             self._spec_draft_fn = jax.jit(
                 _spec_draft, donate_argnums=(3, 7, 8))
@@ -1329,8 +1366,9 @@ class Engine:
             return done
 
         chunk = self.decode_chunk
-        step_tokens = (self.speculative_k + 1 if self.speculative_k
-                       else chunk)
+        step_tokens = (
+            (self.speculative_k + 1) * self.speculative_rounds
+            if self.speculative_k else chunk)
         t_flush = time.perf_counter()
         # Flush BEFORE the chunk if any live tail could overflow.
         if any(self.slots[i].tail + step_tokens > self.cache.tail_size
@@ -1482,37 +1520,43 @@ class Engine:
                     jnp.asarray(temps), jnp.asarray(top_ps),
                     self._next_key(),
                 )
-        out = np.asarray(out_dev)                    # [B, k+1], one sync
-        acc = np.asarray(acc_dev)                    # [B]
+        out = np.asarray(out_dev)                    # one sync
+        acc = np.asarray(acc_dev)
         self.stats.decode_s += time.perf_counter() - t0
         self.stats.engine_steps += 1
+        if self.draft_params is None:
+            out, acc = out[None], acc[None]          # [R=1, B, k+1]/[1, B]
 
         accepted_total = 0
-        for i in live:
-            s = self.slots[i]
-            a = int(acc[i])
-            # KV for positions 0..k was written; only 0..a is real.
-            self.stats.spec_proposed += k
-            self.stats.spec_accepted += a
-            if self.draft_params is not None:
-                # Draft cache: positions len..len+a confirmed (the
-                # rejected rows above are overwritten by the next scan
-                # before they are unmasked).
-                self._draft_len[i] = min(
-                    int(self._draft_len[i]) + a + 1, self._draft_S - 1)
-            s.length += a + 1
-            s.tail += a + 1
-            for tok in out[i, : a + 1]:
+        for r in range(out.shape[0]):
+            for i in live:
+                s = self.slots[i]
                 if s is None:
-                    break
-                s.next_token = int(tok)
-                s.generated.append(int(tok))
-                accepted_total += 1
-                fin = self._maybe_finish(s, slot_idx=i)
-                if fin is not None:
-                    done.append(fin)
-                    self.slots[i] = None
-                    s = None
+                    continue                        # finished at round < r
+                a = int(acc[r, i])
+                # KV for positions 0..k was written; only 0..a is real.
+                self.stats.spec_proposed += k
+                self.stats.spec_accepted += a
+                if self.draft_params is not None:
+                    # Draft cache: positions len..len+a confirmed (the
+                    # rejected rows above are overwritten by the next
+                    # scan before they are unmasked).
+                    self._draft_len[i] = min(
+                        int(self._draft_len[i]) + a + 1,
+                        self._draft_S - 1)
+                s.length += a + 1
+                s.tail += a + 1
+                for tok in out[r, i, : a + 1]:
+                    if s is None:
+                        break
+                    s.next_token = int(tok)
+                    s.generated.append(int(tok))
+                    accepted_total += 1
+                    fin = self._maybe_finish(s, slot_idx=i)
+                    if fin is not None:
+                        done.append(fin)
+                        self.slots[i] = None
+                        s = None
         self.stats.decode_tokens += accepted_total
         return done
 

@@ -271,6 +271,45 @@ def test_engine_model_draft_self_accepts(params, rng):
     assert rate >= 0.9, (stats.spec_accepted, stats.spec_proposed)
 
 
+def test_engine_speculative_rounds_stack(params, rng):
+    """speculative_rounds > 1 fuses R draft+verify rounds in one
+    dispatch (the round-4 composition residue: spec x chunking now
+    stack). Transcripts equal the plain engine; with a self-draft the
+    engine must emit ~R*(k+1) tokens per engine step."""
+    from flash_attention_tpu.runtime.engine import Engine, Request
+
+    prompts = [list(rng.integers(0, CFG.vocab_size, 13)),
+               list(rng.integers(0, CFG.vocab_size, 29))]
+
+    def serve(**kw):
+        eng = Engine(params, CFG, max_batch=2, num_pages=32,
+                     page_size=PAGE, tail_size=32, **kw)
+        reqs = [Request(prompt=list(p), max_new_tokens=12)
+                for p in prompts]
+        by_id = {c.request_id: c for c in eng.run(reqs)}
+        return [by_id[r.request_id].tokens for r in reqs], eng.stats
+
+    base, _ = serve()
+    got, stats = serve(speculative_k=3, speculative_rounds=3,
+                       draft_params=params, draft_cfg=CFG)
+    assert got == base
+    # Self-draft: nearly everything accepts, so decode steps emit
+    # ~R*(k+1)=12 tokens each — the whole run should take very few
+    # decode dispatches (24 tokens / 12 per step + slack).
+    rate = stats.spec_accepted / stats.spec_proposed
+    assert rate >= 0.9, (stats.spec_accepted, stats.spec_proposed)
+    decode_steps = stats.spec_proposed // (3 * 3)   # dispatches
+    assert decode_steps <= 4, (decode_steps, stats)
+    # Guards: rounds>1 without a draft model; tail too small.
+    with pytest.raises(ValueError, match="draft model"):
+        Engine(params, CFG, max_batch=2, num_pages=16, page_size=PAGE,
+               tail_size=32, speculative_k=3, speculative_rounds=2)
+    with pytest.raises(ValueError, match="tail_size"):
+        Engine(params, CFG, max_batch=2, num_pages=16, page_size=PAGE,
+               tail_size=8, speculative_k=3, speculative_rounds=2,
+               draft_params=params, draft_cfg=CFG)
+
+
 @pytest.mark.slow
 def test_engine_model_draft_wrong_model_still_exact(params, rng):
     """A draft model with DIFFERENT random weights proposes garbage;
