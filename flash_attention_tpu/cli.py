@@ -810,7 +810,16 @@ def cmd_serve_bench(args):
                  decode_chunk=1 if args.spec_k else args.decode_chunk,
                  prefill_chunk=args.prefill_chunk,
                  prefix_cache=args.prefix_cache,
-                 speculative_k=args.spec_k, draft_fn=draft_fn,
+                 speculative_k=args.spec_k,
+                 speculative_rounds=getattr(args, "spec_rounds", 1) or 1,
+                 tail_size=(
+                     # Default tail (= page_size) unless the fused
+                     # multi-round span needs a bigger one.
+                     None if (args.spec_k + 1) * (getattr(
+                         args, "spec_rounds", 1) or 1) < args.page_size
+                     else (args.spec_k + 1) * (getattr(
+                         args, "spec_rounds", 1) or 1) + 1),
+                 draft_fn=draft_fn,
                  draft_params=draft_params, draft_cfg=draft_cfg)
 
     # Warmup round compiles prefill/decode/flush programs; the engine is
@@ -1082,6 +1091,10 @@ def main(argv=None):
                      help="speculative decoding: n-gram prompt-lookup "
                           "drafts of this depth, verified in one "
                           "multi-token dispatch (greedy only)")
+    ps_.add_argument("--spec-rounds", type=int, default=1,
+                     help="fuse this many draft+verify rounds per "
+                          "dispatch (requires a draft model via "
+                          "--draft-dim/--draft-load)")
     ps_.add_argument("--prefix-cache", action="store_true",
                      help="automatic prefix caching (cached prompt "
                           "pages reused; suffix-only prefill)")
