@@ -519,9 +519,15 @@ def ring_attention(q, k, v, segment_ids: SegmentIds | None = None, *,
             raise ValueError("ring window requires causal=True")
         if layout != "contiguous":
             raise NotImplementedError(
-                "ring window needs static per-step causal offsets; the "
-                "zigzag layout's offsets depend on the device index — "
-                "use layout='contiguous' with window")
+                "window requires layout='contiguous' — and that is not "
+                "a missing feature: zigzag exists to rebalance the "
+                "causal triangle (contiguous per-shard work varies "
+                "from C^2/2 to N*C), but a sliding window already "
+                "caps every shard's work at ~window*C_local; the "
+                "bottleneck shard does irreducible work, so zigzag "
+                "cannot improve the windowed ring (only shards whose "
+                "global positions < window do less). Contiguous + "
+                "window IS the balanced layout here.")
     return _ring_attention(q, k, v, segment_ids, axis_name, causal,
                            layout, window, scale, block_sizes, interpret)
 

@@ -135,6 +135,34 @@ timeout 1400 python -m flash_attention_tpu.cli serve-bench --model 1b \
     --decode-chunk 1 2>&1 \
     | grep -v "Platform 'axon'" | tee benchmarks/serve_bench_1b_chunk1
 
+# Model-based drafting on the chain-corpus workload (trained main +
+# tiny draft pair): n-gram lookup gets ~0% there while the trained
+# draft carries the global next-token function. Train once (exports
+# /tmp/spec_{main,draft}.safetensors), then three measured rows on the
+# SAME weights/workload: chunked baseline, n-gram spec, model drafts
+# with fused rounds.
+timeout 3000 python scripts/train_spec_pair.py \
+    --out-main /tmp/spec_main.safetensors \
+    --out-draft /tmp/spec_draft.safetensors 2>&1 \
+    | grep -v "Platform 'axon'" | tail -20
+for row in baseline ngram model; do
+    case "$row" in
+        baseline) extra="" ;;
+        ngram)    extra="--spec-k 3" ;;
+        model)    extra="--spec-k 3 --spec-rounds 2 --draft-dim 512
+                         --draft-layers 4 --draft-heads 8
+                         --draft-kv-heads 8 --draft-ffn 2048
+                         --draft-load /tmp/spec_draft.safetensors" ;;
+    esac
+    timeout 1800 python -m flash_attention_tpu.cli serve-bench \
+        --model 1b --load /tmp/spec_main.safetensors \
+        --corpus chain:4096 --batch 16 --requests 32 \
+        --prompt-len 256 --gen-len 48 --num-pages 128 \
+        $extra 2>&1 \
+        | grep -v "Platform 'axon'" \
+        | tee "benchmarks/serve_bench_1b_spec_model_$row"
+done
+
 # 8B end-to-end ENGINE serving on one chip (int4 weights + int8 pools)
 timeout 1800 python -m flash_attention_tpu.cli serve-bench --model 8b \
     --weight-quant int4 --kv-quant int8 --batch 16 --requests 32 \
