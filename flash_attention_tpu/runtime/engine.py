@@ -1195,8 +1195,14 @@ class Engine:
                 # (serve-bench --trace). Greedy rows are argmax in both
                 # paths, so transcripts are unchanged.
                 m = len(single)
-                mp = 1 << (m - 1).bit_length()   # pad to pow2: only
-                rows = [t_.logits for t_ in single]  # warmed shapes occur
+                # Pad to pow2. Invariant: mp never exceeds the largest
+                # warmed group size — _step_prefill groups are clamped
+                # to a power of two <= max_batch (g = pow2 floor of the
+                # queue length), m <= g, and ceil_pow2(m) <= g since g
+                # is itself a power of two; precompile warms every pow2
+                # g <= max_batch (both greedy and temp>0 shapes).
+                mp = 1 << (m - 1).bit_length()
+                rows = [t_.logits for t_ in single]
                 rows += [rows[0]] * (mp - m)
                 temps = np.zeros(mp, np.float32)
                 tps = np.zeros(mp, np.float32)
