@@ -52,6 +52,7 @@ step probe_int4       1800 python scripts/probe_int4_variants.py
 step probe_paged_int8 1800 python scripts/probe_paged_int8.py
 step probe_cliff      1800 python scripts/probe_prefill_cliff.py
 step probe_split      1800 python scripts/probe_split_causal.py
+step probe_lmhead     1800 python scripts/probe_lmhead_argmax.py
 
 # 3. regenerate the stale 8B artifacts (honest param labels) — task 2
 step bench_8b_int4_b32 1800 bash -c '
