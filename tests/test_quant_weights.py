@@ -250,3 +250,21 @@ def test_int4_params_through_engine(rng):
     want = [int(x) for x in np.asarray(generate(
         q4, jnp.asarray([prompt], jnp.int32), CFG, max_new_tokens=5)[0])]
     assert got.tokens == want
+
+
+def test_dense_matmul_matches_einsum(rng):
+    """Weight-streaming dense Pallas matmul (the skinny-m prefill
+    path): exact vs XLA at odd shapes."""
+    from flash_attention_tpu.ops.quant_matmul import dense_matmul
+
+    x = jnp.asarray(rng.normal(0, 1, (13, 200)), jnp.float32)
+    w = jnp.asarray(rng.normal(0, 1, (200, 300)), jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(dense_matmul(x, w)), np.asarray(x @ w),
+        rtol=1e-5, atol=1e-4)
+    xb = jnp.asarray(rng.normal(0, 0.1, (16, 512)), jnp.bfloat16)
+    wb = jnp.asarray(rng.normal(0, 0.1, (512, 1024)), jnp.bfloat16)
+    got = np.asarray(dense_matmul(xb, wb), np.float32)
+    want = np.asarray(
+        jnp.dot(xb, wb, preferred_element_type=jnp.float32), np.float32)
+    assert np.max(np.abs(got - want)) < 0.05 * np.max(np.abs(want))
