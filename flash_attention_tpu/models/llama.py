@@ -210,14 +210,44 @@ def param_shardings(cfg: LlamaConfig, tp_size: int | None = None) -> dict:
 def _mm(spec, x, w):
     """Weight einsum with int8 weight-only dispatch: a QuantizedWeight
     (models/quantized.py) runs the fused-dequant Pallas matmul for
-    skinny shapes; dense weights run plain einsum."""
+    skinny shapes; dense weights run plain einsum — or, with
+    FA_TPU_DENSE_PALLAS_MM=1, the explicit weight-streaming Pallas
+    matmul for skinny activations (the small-dispatch prefill cliff
+    experiment, scripts/probe_prefill_cliff.py: XLA's own skinny-m
+    dense lowering can run far under HBM speed)."""
+    import os
+
     from flash_attention_tpu.models.quantized import (
-        Int4Weight, QuantizedWeight,
+        Int4Weight, QuantizedWeight, _weight_einsum,
     )
 
     if isinstance(w, (QuantizedWeight, Int4Weight)):
         return w.einsum(spec, x)
+    if os.environ.get("FA_TPU_DENSE_PALLAS_MM") and w.ndim >= 2:
+        return _weight_einsum(_DensePallasWeight(w, spec), spec, x)
     return jnp.einsum(spec, x, w)
+
+
+class _DensePallasWeight:
+    """Adapter giving a dense weight the quantized-weight einsum
+    protocol (orig_shape / n_contract / _matmul2d) so _weight_einsum's
+    2D normalization is reused; skinny activations stream through the
+    blocked Pallas matmul, fat ones stay on XLA."""
+
+    def __init__(self, w, spec):
+        ins, _ = spec.split("->")
+        xs, ws = ins.split(",")
+        self.orig_shape = tuple(w.shape)
+        self.n_contract = sum(1 for c in ws if c in xs)
+        k = int(np.prod(w.shape[: self.n_contract]) or 1)
+        self._w2 = w.reshape(k, -1)
+
+    def _matmul2d(self, x2):
+        from flash_attention_tpu.ops.quant_matmul import dense_matmul
+
+        if x2.shape[0] <= 1024:
+            return dense_matmul(x2, self._w2)
+        return jnp.dot(x2, self._w2)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
