@@ -46,14 +46,6 @@ assert err < 5e-3, err
 print("TPU drive OK, split maxabs", err)
 EOF
 
-# 2. decomposition + kernel variants + prefill cliff + split perf
-step probe_decomp     2400 python scripts/probe_decode_decomp.py
-step probe_int4       1800 python scripts/probe_int4_variants.py
-step probe_paged_int8 1800 python scripts/probe_paged_int8.py
-step probe_cliff      1800 python scripts/probe_prefill_cliff.py
-step probe_split      1800 python scripts/probe_split_causal.py
-step probe_lmhead     1800 python scripts/probe_lmhead_argmax.py
-
 # 3. regenerate the stale 8B artifacts (honest param labels) — task 2
 step bench_8b_int4_b32 1800 bash -c '
 python -m flash_attention_tpu.cli decode-bench --model 8b \
@@ -76,6 +68,14 @@ step decode_bench_1b 1800 bash -c '
       --model-batch 32 --model-context 2048 --model-steps 32 \
       --iters 6 2>&1 | grep -v "Platform '\''axon'\''"
 } | tee benchmarks/decode_bench_1b'
+
+# 2. decomposition + kernel variants + prefill cliff + split perf
+step probe_decomp     2400 python scripts/probe_decode_decomp.py
+step probe_int4       1800 python scripts/probe_int4_variants.py
+step probe_paged_int8 1800 python scripts/probe_paged_int8.py
+step probe_cliff      1800 python scripts/probe_prefill_cliff.py
+step probe_split      1800 python scripts/probe_split_causal.py
+step probe_lmhead     1800 python scripts/probe_lmhead_argmax.py
 
 # 4. trained spec pair + the three serving rows
 step train_spec_pair 3000 python scripts/train_spec_pair.py \
