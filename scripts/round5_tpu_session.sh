@@ -4,7 +4,10 @@
 # /tmp/r5_<step>.log and failures don't stop later steps.
 set -u
 cd "$(dirname "$0")/.."
-export PYTHONPATH="$PWD"
+# Preserve any pre-set entries (the TPU plugin registers via a
+# sitecustomize dir already on PYTHONPATH — overwriting it kills the
+# 'axon' backend registration).
+export PYTHONPATH="$PWD${PYTHONPATH:+:$PYTHONPATH}"
 
 step() {
     local name=$1 tmo=$2; shift 2
