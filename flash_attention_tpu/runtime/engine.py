@@ -217,6 +217,7 @@ class Engine:
                  speculative_rounds: int = 1,
                  max_decode_stall: int = 4, draft_fn=None,
                  draft_params=None, draft_cfg=None, draft_max_seq=None,
+                 prefill_hbm_budget: int | None = None,
                  mesh=None, seed: int = 0):
         self.params = params
         self.cfg = cfg
@@ -307,6 +308,18 @@ class Engine:
                 self._wchunk = c
                 self._wbuf = (-(-cfg.window // page_size) * page_size
                               + page_size + c)
+                # Each in-flight windowed prefill task holds TWO
+                # [L, 1, hkv, wbuf, D] rolling buffers in HBM until its
+                # final chunk installs (~1.3 GB for a 7B at window 4K).
+                # Slots alone don't bound that commitment — admission
+                # additionally budgets total rolling-buffer bytes
+                # (default 4 GiB; always admits at least one task so
+                # oversized windows still make progress).
+                self._wbuf_task_bytes = (
+                    2 * cfg.n_layers * cfg.n_kv_heads * self._wbuf
+                    * cfg.head_dim * jnp.dtype(cfg.dtype).itemsize)
+                if prefill_hbm_budget is None:
+                    prefill_hbm_budget = 4 << 30
             peak = self.cache.pages_for(
                 cfg.window + page_size + self.cache.tail_size)
             if peak > self.max_pages:
@@ -314,6 +327,7 @@ class Engine:
                     f"max_seq_len {max_seq_len} gives a {self.max_pages}"
                     f"-page table, smaller than the windowed live peak "
                     f"({peak} pages); raise max_seq_len/num_pages")
+        self._prefill_hbm_budget = prefill_hbm_budget
 
         # Speculative decoding: each engine step feeds [next_token,
         # k drafts] through ONE multi-token decode dispatch (one weight
@@ -949,12 +963,23 @@ class Engine:
 
             free_slots = [i for i, s in enumerate(self.slots)
                           if s is None]
+            # Rolling-buffer HBM budget: windowed chunked prefill holds
+            # ~_wbuf_task_bytes per in-flight task until install; slots
+            # alone don't bound that commitment at large max_batch.
+            wbuf_over = False
+            if (win is not None and self._wbuf is not None
+                    and self._prefill_hbm_budget is not None
+                    and (self.prefill_chunk is not None or m)):
+                inflight = sum(1 for p in self.prefilling if p.windowed)
+                wbuf_over = (inflight > 0 and
+                             (inflight + 1) * self._wbuf_task_bytes
+                             > self._prefill_hbm_budget)
             if (len(free_slots) - self._promised_slots() < n
                     or self.cache.free_pages - self._reserved_pages()
-                    < need):
+                    < need or wbuf_over):
                 if cached:
                     self.cache.release_pages(cached)
-                break                       # wait for slots/pages
+                break                       # wait for slots/pages/HBM
             self.pending.popleft()
 
             if self._wbuf is not None and (

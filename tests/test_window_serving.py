@@ -180,3 +180,32 @@ def test_windowed_eviction_bounds_page_occupancy(params, rng):
     assert peak_live <= eng2.cache.pages_for(
         CFG.window + eng2.cache.page_size + eng2.cache.tail_size), \
         peak_live
+
+
+@pytest.mark.slow
+def test_windowed_prefill_hbm_budget_bounds_inflight(params, rng):
+    """Rolling-buffer HBM budget: with a budget of exactly one task's
+    buffer bytes, admission never holds more than one windowed prefill
+    task in flight at a time — yet all requests still complete, with
+    transcripts identical to the unbudgeted engine."""
+    prompts = [list(rng.integers(0, CFG.vocab_size, 150))
+               for _ in range(3)]
+    want, _ = _serve(params, prompts, 8, prefill_chunk=32)
+
+    eng = Engine(params, CFG, max_batch=4, num_pages=32, page_size=128,
+                 tail_size=16, prefill_chunk=32,
+                 prefill_hbm_budget=1)   # < 2 tasks' bytes
+    assert eng._wbuf_task_bytes > 1
+    reqs = [Request(prompt=list(p), max_new_tokens=8) for p in prompts]
+    for r in reqs:
+        eng.submit(r)
+    done, peak = [], 0
+    for _ in range(400):
+        done += eng.step()
+        peak = max(peak, sum(1 for p in eng.prefilling if p.windowed))
+        if len(done) == len(reqs):
+            break
+    assert peak <= 1
+    by_id = {c.request_id: c for c in done}
+    got = [by_id[r.request_id].tokens for r in reqs]
+    assert got == want
